@@ -1,0 +1,51 @@
+"""Runtime tuning knobs, overridable via environment variables.
+
+Analogous to the reference's GPU-scheduler env knobs (reference:
+src/raystrack/main.py:51-64), reinterpreted for the TPU execution model:
+instead of stream counts and pinned-memory budgets, these size the fused
+device chunk step (ray block per inner tile, triangle tile width, and the
+per-dispatch ray budget that bounds speculative iteration chunks).
+"""
+from __future__ import annotations
+
+import os
+
+
+def _env_int(name: str, default: int, *, minimum: int = 1) -> int:
+    raw = os.environ.get(name)
+    if raw is None:
+        return max(minimum, int(default))
+    try:
+        return max(minimum, int(raw))
+    except Exception:
+        return max(minimum, int(default))
+
+
+# Rays processed per inner tile of the trace sweep. Also the ray-count
+# alignment unit: per-emitter ray batches are zero-padded to a multiple.
+RAY_BLOCK = _env_int("RAYSTRACK_TPU_RAY_BLOCK", 2048)
+
+# Maximum triangle-tile width of the trace sweep (lanes dimension).
+TRI_TILE = _env_int("RAYSTRACK_TPU_TRI_TILE", 512)
+
+# Target rays per device dispatch; bounds how many MC iterations are fused
+# into one chunk (chunk = clamp(target / rays_per_iteration)).
+TARGET_CHUNK_RAYS = _env_int("RAYSTRACK_TPU_TARGET_CHUNK_RAYS", 4_194_304)
+
+# Hard cap on iterations fused per dispatch (bounded compile variants: the
+# chunk planner only emits power-of-two chunk sizes up to this cap).
+MAX_CHUNK = _env_int("RAYSTRACK_TPU_MAX_CHUNK", 64)
+
+# Speculation factor: after min_iters, chunks may run up to
+# ceil(iters_done * SPECULATION_PCT / 100) iterations ahead of the next
+# convergence checkpoint; overshoot iterations are discarded, preserving
+# exact per-iteration convergence semantics.
+SPECULATION_PCT = _env_int("RAYSTRACK_TPU_SPECULATION_PCT", 25, minimum=0)
+
+__all__ = [
+    "RAY_BLOCK",
+    "TRI_TILE",
+    "TARGET_CHUNK_RAYS",
+    "MAX_CHUNK",
+    "SPECULATION_PCT",
+]

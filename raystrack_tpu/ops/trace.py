@@ -1,0 +1,332 @@
+"""Fused QMC solve step: ray generation + intersection + reduction.
+
+This is the TPU-native replacement for the reference's per-iteration kernel
+sequence (host/CUDA raygen, Möller–Trumbore trace, histogram reduce —
+reference: src/raystrack/utils/ray_builder.py:25-94,
+src/raystrack/utils/cpu_trace.py:54-583, cuda_trace.py kernels). One jitted
+call processes a *chunk* of Monte-Carlo iterations:
+
+    for each ray block (lax.scan, fully on device):
+        rays   <- stratified Halton emission with Cranley-Patterson rotation
+        trace  <- tiled all-pairs Möller–Trumbore sweep, masked min-reduction
+        reduce <- per-surface front/back histograms, sky binning
+
+and returns only tiny per-iteration count vectors, so host round-trips carry
+(chunk, n_surf) int32s instead of per-ray buffers.
+
+Intersection is expressed as dot products against precomputed per-triangle
+operands (see prepared.ScenePack): for ray (o, d) and triangle i,
+
+    det   = -(d . cross_e_i)
+    u_num =  (o x d) . e2_i + d . (v0_i x e2_i)
+    v_num = -((o x d) . e1_i) - d . (v0_i x e1_i)
+    t_num =  o . cross_e_i - v0_i . cross_e_i
+
+which makes the hot loop a set of (block, 3) @ (3, tile) contractions plus
+elementwise predicates - no per-pair cross products, no branches, and the
+front/back flag is sign(det). Validity tests multiply through by sign(det)
+so no per-pair division happens except the single t = t_num / det needed for
+the nearest-hit ordering. Surface skipping (emitter exclusion, reciprocity
+half-matrix via min_sid, plane-culling masks) is mask algebra on the
+per-triangle surface id; padded triangles have cross_e = 0 => det = 0 and can
+never hit. Epsilons match the reference: |det| >= 1e-7, t > 1e-6.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .tregenza import tregenza_patch_id, TREGENZA_BINS
+
+INF = 1.0e20
+TWO_PI = 6.283185307179586
+
+
+# ---------------------------------------------------------------------------
+# Ray generation
+# ---------------------------------------------------------------------------
+
+
+def generate_rays(tables: Tuple, geom: Tuple, cp_row: jnp.ndarray):
+    """Generate one block of ray origins/directions.
+
+    tables: per-ray f32 vectors (u_cell, v_cell, h_tri, h_u, h_v, h_r1, h_r2),
+    geom:   (cdf, tri_a, tri_e1, tri_e2, tri_u, tri_v, tri_n, tri_eps),
+    cp_row: (7,) Cranley-Patterson offsets
+            [grid_u, grid_v, tri, bary_u, bary_v, hemi_r1, hemi_r2].
+
+    Per ray: jittered stratified cell -> area-CDF triangle pick -> uniform
+    barycentric point -> cosine-weighted hemisphere direction in the
+    triangle's tangent frame -> origin offset by eps * normal
+    (reference math: ray_builder.py:52-94).
+    """
+    u_cell, v_cell, h_tri, h_u, h_v, h_r1, h_r2 = tables
+    cdf, tri_a, tri_e1, tri_e2, tri_u, tri_v, tri_n, tri_eps = geom
+    n_faces = cdf.shape[0]
+
+    ug = jnp.mod(u_cell + cp_row[0], 1.0)
+    vg = jnp.mod(v_cell + cp_row[1], 1.0)
+
+    q_tri = jnp.mod(h_tri + cp_row[2], 1.0)
+    tri = jnp.clip(jnp.searchsorted(cdf, q_tri, side="left"), 0, n_faces - 1)
+
+    ur = jnp.mod(h_u + cp_row[3] + ug, 1.0)
+    vr = jnp.mod(h_v + cp_row[4] + vg, 1.0)
+    s = jnp.sqrt(ur)
+    mix_b = (s * vr)[:, None]
+    mix_c = (s * (1.0 - vr))[:, None]
+    point = tri_a[tri] + mix_b * tri_e1[tri] + mix_c * tri_e2[tri]
+
+    r1 = jnp.mod(h_r1 + cp_row[5], 1.0)
+    r2 = jnp.mod(h_r2 + cp_row[6], 1.0)
+    sin_t = jnp.sqrt(1.0 - r1)
+    phi = TWO_PI * r2
+    lx = (sin_t * jnp.cos(phi))[:, None]
+    ly = (sin_t * jnp.sin(phi))[:, None]
+    lz = jnp.sqrt(r1)[:, None]
+    normal = tri_n[tri]
+    direction = lx * tri_u[tri] + ly * tri_v[tri] + lz * normal
+    origin = point + tri_eps[tri][:, None] * normal
+    return origin, direction
+
+
+# ---------------------------------------------------------------------------
+# Tiled intersection sweep
+# ---------------------------------------------------------------------------
+
+
+def _sweep_tiles(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    ray_valid: jnp.ndarray,
+    scene: Tuple,
+    mask_any: jnp.ndarray,
+    mask_mat: jnp.ndarray,
+    *,
+    tri_tile: int,
+    want_matrix: bool,
+    want_any: bool,
+):
+    """All-pairs sweep of one ray block against all triangle tiles.
+
+    Returns (best_code, any_hit): best_code packs the nearest matrix-eligible
+    hit as sid*2 + front (or -1 for a miss); any_hit marks rays blocked by
+    any sky-eligible surface.
+    """
+    v0, e1, e2, cross_e, w_u, w_v, d0, sid = scene
+    n_block = o.shape[0]
+    n_tri_pad = v0.shape[0]
+    n_tiles = n_tri_pad // tri_tile
+
+    oxd = jnp.cross(o, d)
+
+    def tile_body(i, carry):
+        best_t, best_code, any_hit = carry
+        off = i * tri_tile
+        sl1 = lambda a: jax.lax.dynamic_slice_in_dim(a, off, tri_tile, axis=0)
+        ce_t = sl1(cross_e).T  # (3, T)
+        det = -(d @ ce_t)  # (B, T)
+        t_num = o @ ce_t - sl1(d0)[None, :]
+        u_num = oxd @ sl1(e2).T + d @ sl1(w_u).T
+        v_num = -(oxd @ sl1(e1).T) - d @ sl1(w_v).T
+
+        sign = jnp.where(det >= 0.0, 1.0, -1.0).astype(det.dtype)
+        abs_det = det * sign
+        un = u_num * sign
+        vn = v_num * sign
+        t_hit = t_num / det
+        valid = (
+            (abs_det >= 1e-7)
+            & (un >= 0.0)
+            & (un <= abs_det)
+            & (vn >= 0.0)
+            & (un + vn <= abs_det)
+            & (t_hit > 1e-6)
+            & ray_valid[:, None]
+        )
+
+        if want_any:
+            any_hit = any_hit | jnp.any(valid & sl1(mask_any)[None, :], axis=1)
+
+        if want_matrix:
+            t_masked = jnp.where(valid & sl1(mask_mat)[None, :], t_hit, INF)
+            tile_best = jnp.min(t_masked, axis=1)
+            arg = jnp.argmin(t_masked, axis=1)
+            front = jnp.take_along_axis(det, arg[:, None], axis=1)[:, 0] > 0.0
+            code = sl1(sid)[arg] * 2 + front.astype(jnp.int32)
+            take = tile_best < best_t
+            best_t = jnp.where(take, tile_best, best_t)
+            best_code = jnp.where(take, code, best_code)
+
+        return best_t, best_code, any_hit
+
+    # Derive the loop carry from the (possibly shard_map-varying) ray arrays
+    # so its variance annotation matches the loop body's outputs.
+    zero = o[:, 0] * 0.0
+    init = (
+        zero + INF,
+        zero.astype(jnp.int32) - 1,
+        zero > 0.0,
+    )
+    best_t, best_code, any_hit = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+    best_code = jnp.where(best_t < INF, best_code, -1)
+    return best_code, any_hit
+
+
+# ---------------------------------------------------------------------------
+# Per-block histograms
+# ---------------------------------------------------------------------------
+
+
+def _matrix_histogram(best_code: jnp.ndarray, n_surf: int):
+    """Front/back hit counts per surface from packed hit codes (sid*2+front)."""
+    hit = best_code >= 0
+    sid = best_code >> 1
+    front = (best_code & 1) == 1
+    eq = (sid[:, None] == jnp.arange(n_surf, dtype=jnp.int32)[None, :]) & hit[:, None]
+    counts_f = jnp.sum(eq & front[:, None], axis=0, dtype=jnp.int32)
+    counts_b = jnp.sum(eq & ~front[:, None], axis=0, dtype=jnp.int32)
+    return counts_f, counts_b
+
+
+def _sky_histogram(direction: jnp.ndarray, miss: jnp.ndarray):
+    """Tregenza bin counts of unblocked upward rays."""
+    pid = tregenza_patch_id(direction[:, 0], direction[:, 1], direction[:, 2])
+    eq = (pid[:, None] == jnp.arange(TREGENZA_BINS, dtype=jnp.int32)[None, :]) & miss[
+        :, None
+    ]
+    return jnp.sum(eq, axis=0, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Chunked solve step
+# ---------------------------------------------------------------------------
+
+
+def chunk_body(
+    scene: Tuple,
+    tables: Tuple,
+    geom: Tuple,
+    cp: jnp.ndarray,
+    surf_active_ext: jnp.ndarray,
+    emit_sid: jnp.ndarray,
+    min_sid: jnp.ndarray,
+    n_rays_once: jnp.ndarray,
+    *,
+    ray_block: int,
+    tri_tile: int,
+    want_matrix: bool,
+    want_any: bool,
+    discrete: bool,
+    ray_index_base=0,
+) -> Dict[str, jnp.ndarray]:
+    """Trace ``chunk`` iterations over the local per-ray tables.
+
+    ``tables`` may be the full per-emitter tables or a shard of them (for
+    multi-device solves, each device traces a disjoint ray-index slice,
+    ``ray_index_base`` is its global offset, and the partial counts are
+    psummed by the caller). Per-iteration ray counts are raw local counts;
+    normalization happens on host.
+    """
+    sid = scene[7]
+    chunk = cp.shape[0]
+    n_local = tables[0].shape[0]
+    blocks_per_iter = n_local // ray_block
+    n_blocks = chunk * blocks_per_iter
+
+    active = surf_active_ext[sid] > 0
+    m_any = active & (sid != emit_sid)
+    m_mat = m_any & (sid >= min_sid)
+    n_surf = surf_active_ext.shape[0] - 1
+
+    block_ids = jnp.arange(n_blocks, dtype=jnp.int32)
+
+    def run_block(bid):
+        itr = bid // blocks_per_iter
+        off = (bid % blocks_per_iter) * ray_block
+        tb = tuple(
+            jax.lax.dynamic_slice_in_dim(t, off, ray_block, axis=0) for t in tables
+        )
+        o, d = generate_rays(tb, geom, cp[itr])
+        # Global ray index inside the iteration decides validity (tail pad).
+        ray_idx = ray_index_base + off + jnp.arange(ray_block, dtype=jnp.int32)
+        ray_valid = ray_idx < n_rays_once
+
+        best_code, any_hit = _sweep_tiles(
+            o,
+            d,
+            ray_valid,
+            scene,
+            m_any,
+            m_mat,
+            tri_tile=tri_tile,
+            want_matrix=want_matrix,
+            want_any=want_any,
+        )
+
+        out: Dict[str, jnp.ndarray] = {}
+        if want_matrix:
+            counts_f, counts_b = _matrix_histogram(best_code, n_surf)
+            out["counts_f"] = counts_f
+            out["counts_b"] = counts_b
+        if want_any:
+            miss = ~any_hit & ray_valid
+            if discrete:
+                out["sky_bins"] = _sky_histogram(d, miss)
+            else:
+                out["upward"] = jnp.sum(
+                    miss & (d[:, 2] > 0.0), dtype=jnp.int32
+                )
+        return out
+
+    stacked = jax.lax.map(run_block, block_ids)
+    # (n_blocks, ...) -> (chunk, blocks_per_iter, ...) -> per-iteration sums
+    out: Dict[str, jnp.ndarray] = {}
+    for key, val in stacked.items():
+        per_iter = val.reshape((chunk, blocks_per_iter) + val.shape[1:])
+        out[key] = jnp.sum(per_iter, axis=1, dtype=jnp.int32)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ray_block", "tri_tile", "want_matrix", "want_any", "discrete"),
+)
+def trace_chunk(
+    scene: Tuple,
+    tables: Tuple,
+    geom: Tuple,
+    cp: jnp.ndarray,
+    surf_active_ext: jnp.ndarray,
+    emit_sid: jnp.ndarray,
+    min_sid: jnp.ndarray,
+    n_rays_once: jnp.ndarray,
+    *,
+    ray_block: int,
+    tri_tile: int,
+    want_matrix: bool,
+    want_any: bool,
+    discrete: bool,
+) -> Dict[str, jnp.ndarray]:
+    """Single-device jitted chunk step. See :func:`chunk_body`."""
+    return chunk_body(
+        scene,
+        tables,
+        geom,
+        cp,
+        surf_active_ext,
+        emit_sid,
+        min_sid,
+        n_rays_once,
+        ray_block=ray_block,
+        tri_tile=tri_tile,
+        want_matrix=want_matrix,
+        want_any=want_any,
+        discrete=discrete,
+    )
+
+
+__all__ = ["generate_rays", "chunk_body", "trace_chunk", "INF"]

@@ -1,0 +1,564 @@
+"""Scene/emitter preparation and cached device packing.
+
+Host side (pure NumPy) mirrors the reference's preparation semantics
+(reference: src/raystrack/utils/prepared.py:99-321):
+
+- triangle soup ``(v0, e1, e2, sid)`` per scene with safe-normalized normals,
+- per-emitter emission tables: orthonormal triangle frames, area CDF,
+  stratified Halton grid sized by ``grid_from_density``, five per-ray Halton
+  dimensions, self-hit origin epsilon, and emitter-plane coplanarity data
+  used for receiver culling.
+
+Device side packs those tables into padded, statically-shaped JAX arrays the
+fused solve step consumes:
+
+- triangles are zero-padded to a tile multiple; a padded triangle has
+  ``e1 = e2 = 0`` so its intersection determinant is exactly 0 and it can
+  never register a hit (no mask arithmetic needed for padding),
+- padded triangle surface-ids point at a sentinel slot appended to the
+  surface-active vector,
+- per-cell jitter values are pre-expanded to per-ray tables so the device
+  step performs no cell gathers,
+- per-triangle intersection operands are precomputed so the Möller–Trumbore
+  test reduces to dot products against the ray and its origin-direction
+  cross product (see ops/trace.py).
+
+``PreparedSolver`` caches all of it across solves, keyed the same way as the
+reference (scene by accel flag; emitters by (samples, rays, flip_faces);
+device packs additionally by device and padding alignment).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import RAY_BLOCK, TRI_TILE
+from .ops.halton import cached_halton, cached_halton_dims
+from .utils.helpers import grid_from_density
+
+Mesh = Tuple[str, np.ndarray, np.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Host-side prepared state
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PreparedScene:
+    """Flattened triangle soup for the whole scene (host arrays)."""
+
+    v0: np.ndarray  # (T, 3) f32
+    e1: np.ndarray  # (T, 3) f32
+    e2: np.ndarray  # (T, 3) f32
+    normals: np.ndarray  # (T, 3) f32, unit
+    sid: np.ndarray  # (T,) i32 surface (mesh) index
+    use_accel: bool  # whether tile culling acceleration was requested
+
+
+@dataclass(frozen=True)
+class PreparedEmitter:
+    """Per-mesh emission tables (host arrays)."""
+
+    tri_a: np.ndarray  # (F, 3) f32
+    tri_e1: np.ndarray  # (F, 3) f32
+    tri_e2: np.ndarray  # (F, 3) f32
+    tri_u: np.ndarray  # (F, 3) f32 tangent frame
+    tri_v: np.ndarray  # (F, 3) f32
+    tri_n: np.ndarray  # (F, 3) f32 unit normal
+    tri_origin_eps: np.ndarray  # (F,) f32 self-hit offset along normal
+    plane_origin: np.ndarray  # (3,) f32
+    plane_normal: np.ndarray  # (3,) f32
+    plane_tol: float
+    plane_is_planar: bool
+    cdf: np.ndarray  # (F,) f32 area CDF
+    total_area: float
+    g: int  # stratified grid side
+    u_grid: np.ndarray  # (g*g,) f32 per-cell jitter
+    v_grid: np.ndarray  # (g*g,) f32
+    halton_tri: np.ndarray  # (g*g*rays,) f32
+    halton_u: np.ndarray
+    halton_v: np.ndarray
+    halton_r1: np.ndarray
+    halton_r2: np.ndarray
+
+    @property
+    def n_cells(self) -> int:
+        return int(self.u_grid.shape[0])
+
+
+def _safe_unit(v: np.ndarray) -> np.ndarray:
+    norm = np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    return v / norm
+
+
+def _triangle_frames(tri_n: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Orthonormal tangent frame (u, v) per unit normal, vectorized.
+
+    Reference picks the world X axis unless ``|n_x| >= 0.9`` (then Y), falls
+    back to the other axis on degeneracy, and finally to the identity frame
+    (reference: prepared.py:99-122).
+    """
+    n = tri_n.astype(np.float32)
+    count = n.shape[0]
+    ex = np.broadcast_to(np.array([1.0, 0.0, 0.0], np.float32), (count, 3))
+    ey = np.broadcast_to(np.array([0.0, 1.0, 0.0], np.float32), (count, 3))
+
+    use_x = (np.abs(n[:, 0]) < 0.9)[:, None]
+    ref1 = np.where(use_x, ex, ey)
+    u1 = np.cross(ref1, n).astype(np.float32)
+    len1 = np.linalg.norm(u1, axis=1, keepdims=True)
+
+    ref2 = np.where(use_x, ey, ex)
+    u2 = np.cross(ref2, n).astype(np.float32)
+    len2 = np.linalg.norm(u2, axis=1, keepdims=True)
+
+    first_ok = len1 > 1e-12
+    second_ok = len2 > 1e-12
+    u = np.where(first_ok, u1 / np.maximum(len1, 1e-30), 0.0)
+    u = np.where(~first_ok & second_ok, u2 / np.maximum(len2, 1e-30), u)
+    v = np.cross(n, u).astype(np.float32)
+    degenerate = (~first_ok & ~second_ok).ravel()
+    if np.any(degenerate):
+        u[degenerate] = ex[degenerate]
+        v[degenerate] = ey[degenerate]
+    return u.astype(np.float32), v.astype(np.float32)
+
+
+def _triangle_origin_eps(tri_e1: np.ndarray, tri_e2: np.ndarray) -> np.ndarray:
+    """Per-triangle ray-origin offset: 1e-6 of the longest edge, min 1e-8."""
+    edges = np.stack(
+        [
+            np.linalg.norm(tri_e1, axis=1),
+            np.linalg.norm(tri_e2, axis=1),
+            np.linalg.norm(tri_e2 - tri_e1, axis=1),
+        ],
+        axis=0,
+    )
+    return np.maximum(edges.max(axis=0) * 1.0e-6, 1.0e-8).astype(np.float32)
+
+
+def _emitter_plane(
+    tri_a: np.ndarray,
+    tri_e1: np.ndarray,
+    tri_e2: np.ndarray,
+    tri_n: np.ndarray,
+    tri_origin_eps: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, float, bool]:
+    """Detect whether the emitter is a single coplanar, co-oriented surface.
+
+    Returns (origin, normal, tolerance, is_planar); planar emitters enable
+    culling of receivers that lie entirely behind the emission plane
+    (reference: prepared.py:133-167).
+    """
+    plane_tol = float(max(1.0e-7, float(tri_origin_eps.max()) if tri_origin_eps.size else 0.0))
+    zero3 = np.zeros(3, dtype=np.float32)
+    if tri_a.shape[0] == 0:
+        return zero3, zero3, plane_tol, False
+
+    origin = np.asarray(tri_a[0], dtype=np.float32)
+    normal = np.asarray(tri_n[0], dtype=np.float32)
+    n_len = float(np.linalg.norm(normal))
+    if n_len <= 1.0e-12:
+        return origin, normal, plane_tol, False
+    normal = (normal / n_len).astype(np.float32)
+
+    if np.any(tri_n @ normal < (1.0 - 1.0e-4)):
+        return origin, normal, plane_tol, False
+
+    corners = (tri_a, tri_a + tri_e1, tri_a + tri_e2)
+    max_dev = max(
+        float(np.max(np.abs((pts - origin) @ normal))) if pts.size else 0.0
+        for pts in corners
+    )
+    if max_dev > plane_tol:
+        return origin, normal, plane_tol, False
+    return origin, normal, plane_tol, True
+
+
+def prepare_scene(meshes: List[Mesh], *, use_accel: bool = False) -> PreparedScene:
+    """Flatten all meshes into a triangle soup with surface ids."""
+    if not meshes or sum(F.shape[0] for _, _, F in meshes) == 0:
+        empty3 = np.empty((0, 3), dtype=np.float32)
+        return PreparedScene(
+            empty3, empty3.copy(), empty3.copy(), empty3.copy(),
+            np.empty((0,), dtype=np.int32), False,
+        )
+
+    v0s, e1s, e2s, ns, sids = [], [], [], [], []
+    for sid, (_, V, F) in enumerate(meshes):
+        a = np.asarray(V[F[:, 0]], dtype=np.float32)
+        b = np.asarray(V[F[:, 1]], dtype=np.float32)
+        c = np.asarray(V[F[:, 2]], dtype=np.float32)
+        e1 = b - a
+        e2 = c - a
+        v0s.append(a)
+        e1s.append(e1)
+        e2s.append(e2)
+        ns.append(_safe_unit(np.cross(e1, e2)).astype(np.float32))
+        sids.append(np.full(F.shape[0], sid, dtype=np.int32))
+
+    return PreparedScene(
+        v0=np.concatenate(v0s),
+        e1=np.concatenate(e1s),
+        e2=np.concatenate(e2s),
+        normals=np.concatenate(ns),
+        sid=np.concatenate(sids),
+        use_accel=bool(use_accel),
+    )
+
+
+def prepare_emitters(
+    meshes: List[Mesh], *, samples: int, rays: int, flip_faces: bool
+) -> List[PreparedEmitter]:
+    """Build per-mesh emission tables (reference: prepared.py:246-321)."""
+    emitters: List[PreparedEmitter] = []
+    for _, V, F in meshes:
+        F_emit = F[:, [0, 2, 1]] if flip_faces else F
+        tri_a = np.asarray(V[F_emit[:, 0]], dtype=np.float32)
+        tri_b = np.asarray(V[F_emit[:, 1]], dtype=np.float32)
+        tri_c = np.asarray(V[F_emit[:, 2]], dtype=np.float32)
+        tri_e1 = tri_b - tri_a
+        tri_e2 = tri_c - tri_a
+
+        raw_n = np.cross(tri_e1, tri_e2).astype(np.float32)
+        twice_area = np.linalg.norm(raw_n, axis=1)
+        tri_n = _safe_unit(raw_n).astype(np.float32)
+        tri_u, tri_v = _triangle_frames(tri_n)
+        eps = _triangle_origin_eps(tri_e1, tri_e2)
+        plane_origin, plane_normal, plane_tol, plane_is_planar = _emitter_plane(
+            tri_a, tri_e1, tri_e2, tri_n, eps
+        )
+
+        areas = 0.5 * twice_area
+        total_area = float(areas.sum())
+        if total_area <= 0.0:
+            cdf = np.ones(F_emit.shape[0], dtype=np.float32)
+            g = 4
+            u_grid = np.zeros(g * g, dtype=np.float32)
+            v_grid = np.zeros_like(u_grid)
+            zeros = np.zeros(g * g * rays, dtype=np.float32)
+            h_tri = h_u = h_v = h_r1 = h_r2 = zeros
+        else:
+            cdf64 = np.cumsum(areas, dtype=np.float64)
+            cdf = (cdf64 / cdf64[-1]).astype(np.float32)
+            g = grid_from_density(total_area, samples)
+            u_grid, v_grid = cached_halton(g)
+            h_tri, h_u, h_v, h_r1, h_r2 = cached_halton_dims(g * g * rays)
+
+        emitters.append(
+            PreparedEmitter(
+                tri_a=tri_a,
+                tri_e1=tri_e1,
+                tri_e2=tri_e2,
+                tri_u=tri_u,
+                tri_v=tri_v,
+                tri_n=tri_n,
+                tri_origin_eps=eps,
+                plane_origin=plane_origin,
+                plane_normal=plane_normal,
+                plane_tol=plane_tol,
+                plane_is_planar=plane_is_planar,
+                cdf=cdf,
+                total_area=total_area,
+                g=g,
+                u_grid=u_grid,
+                v_grid=v_grid,
+                halton_tri=h_tri,
+                halton_u=h_u,
+                halton_v=h_v,
+                halton_r1=h_r1,
+                halton_r2=h_r2,
+            )
+        )
+    return emitters
+
+
+# ---------------------------------------------------------------------------
+# Device packing
+# ---------------------------------------------------------------------------
+
+
+def _round_up(n: int, align: int) -> int:
+    return ((max(n, 1) + align - 1) // align) * align
+
+
+def pick_tri_tile(n_tri_pad: int) -> int:
+    """Largest tile width from {TRI_TILE, ..., 128} dividing the padded count."""
+    tile = TRI_TILE
+    while tile > 128 and n_tri_pad % tile != 0:
+        tile //= 2
+    return max(128, min(tile, n_tri_pad))
+
+
+@dataclass(frozen=True)
+class ScenePack:
+    """Padded, device-resident scene arrays plus derived trace operands.
+
+    The derived per-triangle vectors let the Möller–Trumbore test run as dot
+    products against ray quantities only (o, d, o×d):
+
+    - ``det   = -(d · cross_e)``          with ``cross_e = e1 × e2``
+    - ``u_num =  (o×d) · e2 + d · (v0 × e2)``
+    - ``v_num = -(o×d) · e1 - d · (v0 × e1)``
+    - ``t_num =  o · cross_e - v0 · cross_e``
+
+    and the front/back flag is simply ``det > 0`` (the unnormalized normal is
+    ``cross_e`` and ``det = -(d · cross_e)``).
+    """
+
+    v0: Any  # (Tp, 3) f32
+    e1: Any  # (Tp, 3) f32
+    e2: Any  # (Tp, 3) f32
+    cross_e: Any  # (Tp, 3) f32  e1 x e2
+    w_u: Any  # (Tp, 3) f32  v0 x e2
+    w_v: Any  # (Tp, 3) f32  v0 x e1
+    d0: Any  # (Tp,) f32   v0 . cross_e
+    sid: Any  # (Tp,) i32   padded entries = n_surf (sentinel)
+    n_tri: int
+    n_tri_pad: int
+    tri_tile: int
+    n_surf: int
+
+
+@dataclass(frozen=True)
+class EmitterPack:
+    """Padded per-ray emission tables on device.
+
+    Per-cell jitter is pre-expanded to per-ray (``rays`` consecutive rays
+    share a cell), so ray generation is purely elementwise plus one CDF
+    search and one triangle gather.
+    """
+
+    u_cell: Any  # (Np,) f32
+    v_cell: Any  # (Np,) f32
+    h_tri: Any  # (Np,) f32
+    h_u: Any
+    h_v: Any
+    h_r1: Any
+    h_r2: Any
+    cdf: Any  # (F,) f32
+    tri_a: Any  # (F, 3) f32
+    tri_e1: Any
+    tri_e2: Any
+    tri_u: Any
+    tri_v: Any
+    tri_n: Any
+    tri_eps: Any  # (F,) f32
+    n_rays_once: int  # true rays per iteration (pre-padding)
+    n_rays_pad: int
+
+
+def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
+    import jax
+
+    n_tri = int(scene.v0.shape[0])
+    n_tri_pad = _round_up(n_tri, 128)
+    tile = pick_tri_tile(n_tri_pad)
+
+    def pad3(a: np.ndarray) -> np.ndarray:
+        out = np.zeros((n_tri_pad, 3), dtype=np.float32)
+        out[:n_tri] = a
+        return out
+
+    v0 = pad3(scene.v0)
+    e1 = pad3(scene.e1)
+    e2 = pad3(scene.e2)
+    cross_e = np.cross(e1, e2).astype(np.float32)
+    w_u = np.cross(v0, e2).astype(np.float32)
+    w_v = np.cross(v0, e1).astype(np.float32)
+    d0 = np.einsum("ij,ij->i", v0, cross_e).astype(np.float32)
+    sid = np.full(n_tri_pad, n_surf, dtype=np.int32)
+    sid[:n_tri] = scene.sid
+
+    put = lambda a: jax.device_put(a, device)
+    return ScenePack(
+        v0=put(v0),
+        e1=put(e1),
+        e2=put(e2),
+        cross_e=put(cross_e),
+        w_u=put(w_u),
+        w_v=put(w_v),
+        d0=put(d0),
+        sid=put(sid),
+        n_tri=n_tri,
+        n_tri_pad=n_tri_pad,
+        tri_tile=tile,
+        n_surf=n_surf,
+    )
+
+
+def pack_emitter(
+    emitter: PreparedEmitter,
+    rays: int,
+    *,
+    align: int = RAY_BLOCK,
+    device=None,
+    ray_device=None,
+) -> EmitterPack:
+    """Pack per-ray tables; ``ray_device`` (e.g. a ray-axis NamedSharding)
+    places the per-ray tables, ``device`` everything else."""
+    import jax
+
+    n_rays_once = emitter.n_cells * rays
+    n_rays_pad = _round_up(n_rays_once, align)
+    if ray_device is None:
+        ray_device = device
+
+    def pad1(a: np.ndarray) -> np.ndarray:
+        out = np.zeros(n_rays_pad, dtype=np.float32)
+        out[: a.shape[0]] = a
+        return out
+
+    u_cell = np.repeat(emitter.u_grid, rays)
+    v_cell = np.repeat(emitter.v_grid, rays)
+
+    put = lambda a: jax.device_put(np.asarray(a), device)
+    put_r = lambda a: jax.device_put(np.asarray(a), ray_device)
+    return EmitterPack(
+        u_cell=put_r(pad1(u_cell)),
+        v_cell=put_r(pad1(v_cell)),
+        h_tri=put_r(pad1(emitter.halton_tri)),
+        h_u=put_r(pad1(emitter.halton_u)),
+        h_v=put_r(pad1(emitter.halton_v)),
+        h_r1=put_r(pad1(emitter.halton_r1)),
+        h_r2=put_r(pad1(emitter.halton_r2)),
+        cdf=put(emitter.cdf),
+        tri_a=put(emitter.tri_a),
+        tri_e1=put(emitter.tri_e1),
+        tri_e2=put(emitter.tri_e2),
+        tri_u=put(emitter.tri_u),
+        tri_v=put(emitter.tri_v),
+        tri_n=put(emitter.tri_n),
+        tri_eps=put(emitter.tri_origin_eps),
+        n_rays_once=n_rays_once,
+        n_rays_pad=n_rays_pad,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PreparedSolver cache
+# ---------------------------------------------------------------------------
+
+
+class PreparedSolver:
+    """Cache prepared geometry, ray tables and device packs across solves.
+
+    Reusing one instance across repeated solves on the same mesh set skips
+    rebuilding triangle buffers, Halton tables and device uploads (reference
+    semantics: prepared.py:324-431; changing only the seed reuses everything).
+    """
+
+    def __init__(self, meshes: List[Mesh]):
+        self.meshes = list(meshes)
+        self.total_faces = int(sum(F.shape[0] for _, _, F in self.meshes))
+        self._scene_cache: Dict[bool, PreparedScene] = {}
+        self._emitter_cache: Dict[Tuple[int, int, bool], List[PreparedEmitter]] = {}
+        self._scene_pack_cache: Dict[Tuple[str, bool], ScenePack] = {}
+        self._emitter_pack_cache: Dict[Tuple[str, int, int, int, bool, int], EmitterPack] = {}
+        self._mesh_bounds_cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    # -- host state --------------------------------------------------------
+
+    def get_scene(self, *, use_accel: bool = False) -> PreparedScene:
+        key = bool(use_accel)
+        if key not in self._scene_cache:
+            self._scene_cache[key] = prepare_scene(self.meshes, use_accel=key)
+        return self._scene_cache[key]
+
+    def get_emitters(
+        self, *, samples: int, rays: int, flip_faces: bool
+    ) -> List[PreparedEmitter]:
+        key = (int(samples), int(rays), bool(flip_faces))
+        if key not in self._emitter_cache:
+            self._emitter_cache[key] = prepare_emitters(
+                self.meshes, samples=samples, rays=rays, flip_faces=flip_faces
+            )
+        return self._emitter_cache[key]
+
+    def get_emitter(
+        self, index: int, *, samples: int, rays: int, flip_faces: bool
+    ) -> PreparedEmitter:
+        return self.get_emitters(samples=samples, rays=rays, flip_faces=flip_faces)[
+            int(index)
+        ]
+
+    def get_mesh_bounds(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-mesh AABB (centers, half-extents) for emitter-plane culling."""
+        if self._mesh_bounds_cache is None:
+            n_mesh = len(self.meshes)
+            centers = np.zeros((n_mesh, 3), dtype=np.float32)
+            extents = np.zeros((n_mesh, 3), dtype=np.float32)
+            for idx, (_, V, _) in enumerate(self.meshes):
+                if V.size == 0:
+                    continue
+                v = np.asarray(V, dtype=np.float32)
+                vmin, vmax = v.min(axis=0), v.max(axis=0)
+                centers[idx] = 0.5 * (vmin + vmax)
+                extents[idx] = 0.5 * (vmax - vmin)
+            self._mesh_bounds_cache = (centers, extents)
+        return self._mesh_bounds_cache
+
+    # -- device state -------------------------------------------------------
+
+    def clear_device_cache(self) -> None:
+        self._scene_pack_cache.clear()
+        self._emitter_pack_cache.clear()
+
+    @staticmethod
+    def _device_key(device) -> str:
+        return str(device) if device is not None else "default"
+
+    def get_scene_pack(self, *, use_accel: bool = False, device=None) -> ScenePack:
+        key = (self._device_key(device), bool(use_accel))
+        if key not in self._scene_pack_cache:
+            scene = self.get_scene(use_accel=use_accel)
+            self._scene_pack_cache[key] = pack_scene(
+                scene, len(self.meshes), device=device
+            )
+        return self._scene_pack_cache[key]
+
+    def get_emitter_pack(
+        self,
+        index: int,
+        *,
+        samples: int,
+        rays: int,
+        flip_faces: bool,
+        align: int = RAY_BLOCK,
+        device=None,
+        ray_device=None,
+    ) -> EmitterPack:
+        key = (
+            self._device_key(device),
+            self._device_key(ray_device),
+            int(index),
+            int(samples),
+            int(rays),
+            bool(flip_faces),
+            int(align),
+        )
+        if key not in self._emitter_pack_cache:
+            emitter = self.get_emitter(
+                index, samples=samples, rays=rays, flip_faces=flip_faces
+            )
+            self._emitter_pack_cache[key] = pack_emitter(
+                emitter, rays, align=align, device=device, ray_device=ray_device
+            )
+        return self._emitter_pack_cache[key]
+
+
+__all__ = [
+    "PreparedScene",
+    "PreparedEmitter",
+    "ScenePack",
+    "EmitterPack",
+    "PreparedSolver",
+    "prepare_scene",
+    "prepare_emitters",
+    "pack_scene",
+    "pack_emitter",
+    "pick_tri_tile",
+]

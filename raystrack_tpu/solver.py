@@ -1,0 +1,652 @@
+"""Solver drivers: view-factor matrix, sky, and shared-ray solves.
+
+Behavioral parity with the reference drivers (reference:
+src/raystrack/main.py:1181-2185) with a TPU-native execution model:
+
+- per emitter, the Monte-Carlo loop runs in speculative device-side chunks
+  (see ops/trace.py); the host replays per-iteration counts through float64
+  monitors so stopping behavior matches a strictly sequential solve,
+- reciprocity half-matrix tracing (only receivers with id > emitter are
+  intersected; the transpose is back-filled as F*Ai/Aj),
+- planar emitters cull receivers whose bounding box lies entirely behind the
+  emission plane,
+- per-emitter progress lines keep the reference format
+  ``(i/n) [name] K iter, R rays -> T s (BVH=..., device=...)`` so external
+  harnesses that parse iteration counts keep working.
+
+The ``mesh`` keyword (not present in the reference, which is single-device
+only) shards each trace across a JAX device mesh: rays are split along the
+mesh axis and integer hit counts are psummed over ICI, so results are
+bitwise identical for any device count.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import RAY_BLOCK
+from .convergence import MatrixMonitor, SkyMonitor, plan_chunk
+from .params import MatrixParams, SkyParams
+from .prepared import EmitterPack, PreparedEmitter, PreparedSolver, ScenePack
+from .utils.helpers import enforce_reciprocity_and_rowsum as _enforce_reciprocity_and_rowsum
+from .utils.logging import _log as _default_log
+
+Mesh = Tuple[str, np.ndarray, np.ndarray]
+VFDict = Dict[str, Dict[str, float]]
+
+_BVH_AUTO_THRESHOLD = 512
+
+# Injectable log hook (tests/harnesses may monkeypatch, mirroring the
+# reference's raystrack.main._log contract).
+_log = _default_log
+
+
+def _emit_log(msg: str) -> None:
+    _log(msg)
+
+
+def _select_bvh(bvh: Optional[str], total_faces: int) -> bool:
+    mode = (bvh or "auto").lower()
+    if mode not in ("auto", "off", "builtin"):
+        raise ValueError(f"bvh must be 'auto', 'off', or 'builtin' (got {bvh!r})")
+    if mode == "builtin":
+        return True
+    if mode == "off":
+        return False
+    return total_faces >= _BVH_AUTO_THRESHOLD
+
+
+def _resolve_device(device: Optional[str]):
+    """Map the ``device`` param to a JAX device.
+
+    ``auto`` -> default backend (accelerator when present); ``tpu``/``gpu``
+    -> require an accelerator; ``cpu`` -> JAX CPU backend.
+    """
+    import jax
+
+    dev = (device or "auto").lower()
+    if dev not in ("auto", "tpu", "gpu", "cpu"):
+        raise ValueError(f"device must be 'auto', 'tpu', 'gpu', or 'cpu' (got {device!r})")
+    if dev == "cpu":
+        return jax.devices("cpu")[0]
+    default = jax.devices()[0]
+    if dev in ("tpu", "gpu") and default.platform == "cpu":
+        raise RuntimeError(f"device={dev!r} requested but no accelerator is available")
+    return default
+
+
+def _device_label(device) -> str:
+    return "cpu" if device.platform == "cpu" else "tpu"
+
+
+def _ensure_prepared(meshes: List[Mesh], prepared: Optional[PreparedSolver]) -> PreparedSolver:
+    if prepared is None:
+        return PreparedSolver(meshes)
+    if not isinstance(prepared, PreparedSolver):
+        raise TypeError("prepared must be a PreparedSolver instance")
+    return prepared
+
+
+def _matrix_receivers(idx_emit: int, n_surf: int, reciprocity: bool) -> List[int]:
+    if reciprocity:
+        return list(range(idx_emit + 1, n_surf))
+    return [j for j in range(n_surf) if j != idx_emit]
+
+
+def _matrix_skip(idx_emit: int, reciprocity: bool) -> Tuple[int, int]:
+    """(emitter sid to exclude, minimum sid eligible for matrix hits)."""
+    return (idx_emit, idx_emit + 1) if reciprocity else (idx_emit, 0)
+
+
+def _build_emitter_surface_mask(
+    idx_emit: int,
+    emitter: PreparedEmitter,
+    bounds_center: np.ndarray,
+    bounds_extent: np.ndarray,
+) -> np.ndarray:
+    """Per-surface active flags: emitter off; for planar emitters, also cull
+    receivers whose AABB lies entirely behind the emission plane."""
+    n_surf = int(bounds_center.shape[0])
+    active = np.ones(n_surf, dtype=np.uint8)
+    if 0 <= idx_emit < n_surf:
+        active[idx_emit] = 0
+    if not emitter.plane_is_planar:
+        return active
+
+    normal = emitter.plane_normal.astype(np.float64)
+    signed = (bounds_center.astype(np.float64) - emitter.plane_origin) @ normal
+    radius = bounds_extent.astype(np.float64) @ np.abs(normal)
+    behind = (signed + radius) <= float(emitter.plane_tol)
+    behind[idx_emit] = False
+    active[behind] = 0
+    return active
+
+
+def _matrix_active_receivers(
+    idx_emit: int, n_surf: int, reciprocity: bool, surf_active: np.ndarray
+) -> Tuple[List[int], np.ndarray]:
+    receivers = [
+        j for j in _matrix_receivers(idx_emit, n_surf, reciprocity) if surf_active[j] != 0
+    ]
+    return receivers, np.asarray(receivers, dtype=np.int32)
+
+
+def _cp_rows(seed: int, idx_emit: int, itr_start: int, chunk: int) -> np.ndarray:
+    """Cranley-Patterson offsets for ``chunk`` iterations, reference RNG.
+
+    Iteration ``itr`` draws 2 grid + 5 dimension offsets from
+    ``np.random.default_rng(seed + idx_emit + itr)`` (reference:
+    main.py:1810-1812), so results are reproducible and independent of
+    chunking or device count.
+    """
+    rows = np.empty((chunk, 7), dtype=np.float32)
+    for k in range(chunk):
+        rng = np.random.default_rng(seed + idx_emit + itr_start + k)
+        rows[k, :2] = rng.random(2, dtype=np.float32)
+        rows[k, 2:] = rng.random(5, dtype=np.float32)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Emitter solve loop
+# ---------------------------------------------------------------------------
+
+
+class _EmitterRun:
+    """Drives chunked tracing for one emitter until its monitors finish."""
+
+    def __init__(
+        self,
+        scene_pack: ScenePack,
+        em_pack: EmitterPack,
+        surf_active: np.ndarray,
+        emit_sid: int,
+        min_sid: int,
+        seed: int,
+        idx_emit: int,
+        device,
+        mesh=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.scene_pack = scene_pack
+        self.em_pack = em_pack
+        self.device = device
+        self.mesh = mesh
+        ext = np.zeros(surf_active.shape[0] + 1, dtype=np.int32)
+        ext[:-1] = surf_active
+        self.surf_active_ext = jax.device_put(ext, device)
+        self.emit_sid = jax.device_put(np.int32(emit_sid), device)
+        self.min_sid = jax.device_put(np.int32(min_sid), device)
+        self.n_rays_once = jax.device_put(np.int32(em_pack.n_rays_once), device)
+        self.seed = seed
+        self.idx_emit = idx_emit
+        self.itr_next = 0  # absolute iteration index (drives the RNG stream)
+
+    def run_chunk(self, chunk: int, *, want_matrix: bool, want_any: bool, discrete: bool):
+        """Trace ``chunk`` iterations; returns dict of stacked numpy counts."""
+        cp = _cp_rows(self.seed, self.idx_emit, self.itr_next, chunk)
+        self.itr_next += chunk
+
+        scene = self.scene_pack
+        em = self.em_pack
+        scene_t = (
+            scene.v0, scene.e1, scene.e2, scene.cross_e,
+            scene.w_u, scene.w_v, scene.d0, scene.sid,
+        )
+        tables_t = (em.u_cell, em.v_cell, em.h_tri, em.h_u, em.h_v, em.h_r1, em.h_r2)
+        geom_t = (
+            em.cdf, em.tri_a, em.tri_e1, em.tri_e2,
+            em.tri_u, em.tri_v, em.tri_n, em.tri_eps,
+        )
+        kwargs = dict(
+            ray_block=RAY_BLOCK,
+            tri_tile=scene.tri_tile,
+            want_matrix=want_matrix,
+            want_any=want_any,
+            discrete=discrete,
+        )
+        if self.mesh is not None:
+            from .parallel.sharding import trace_chunk_sharded
+
+            out = trace_chunk_sharded(
+                self.mesh, scene_t, tables_t, geom_t, cp,
+                self.surf_active_ext, self.emit_sid, self.min_sid,
+                self.n_rays_once, **kwargs,
+            )
+        else:
+            from .ops.trace import trace_chunk
+
+            out = trace_chunk(
+                scene_t, tables_t, geom_t, cp,
+                self.surf_active_ext, self.emit_sid, self.min_sid,
+                self.n_rays_once, **kwargs,
+            )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _drive_monitors(
+    run: _EmitterRun,
+    matrix_mon: Optional[MatrixMonitor],
+    sky_mon: Optional[SkyMonitor],
+    *,
+    discrete: bool,
+) -> int:
+    """Run chunks until all monitors are done; returns total traced iterations.
+
+    While both outputs are pending, one combined trace feeds both monitors
+    from the same per-iteration rays; once one converges, subsequent chunks
+    run the cheaper single-output kernel (reference state machine:
+    main.py:1352-1650).
+    """
+    trace_iters = 0
+    while True:
+        m_pending = matrix_mon is not None and not matrix_mon.done
+        s_pending = sky_mon is not None and not sky_mon.done
+        if not m_pending and not s_pending:
+            break
+
+        chunk = 0
+        for mon in (matrix_mon, sky_mon):
+            if mon is None or mon.done:
+                continue
+            chunk = max(
+                chunk,
+                plan_chunk(
+                    mon.iters_done,
+                    min_iters=mon.min_iters,
+                    interval=mon.interval,
+                    max_iters=mon.max_iters,
+                    rays_per_iter=run.em_pack.n_rays_pad,
+                ),
+            )
+        if chunk <= 0:
+            break
+
+        out = run.run_chunk(
+            chunk,
+            want_matrix=m_pending,
+            want_any=s_pending,
+            discrete=discrete,
+        )
+        for k in range(chunk):
+            used = False
+            if m_pending and not matrix_mon.done:
+                matrix_mon.consume_iteration(out["counts_f"][k], out["counts_b"][k])
+                used = True
+            if s_pending and not sky_mon.done:
+                sky_mon.consume_iteration(
+                    out["sky_bins"][k] if discrete else int(out["upward"][k])
+                )
+                used = True
+            if used:
+                trace_iters = max(
+                    trace_iters,
+                    matrix_mon.iters_done if matrix_mon is not None else 0,
+                    sky_mon.iters_done if sky_mon is not None else 0,
+                )
+        # Rewind the RNG stream to the first unconsumed iteration so the next
+        # chunk (possibly with a different kernel) re-traces discarded
+        # speculative iterations identically.
+        run.itr_next = trace_iters
+    return trace_iters
+
+
+# ---------------------------------------------------------------------------
+# Public solvers
+# ---------------------------------------------------------------------------
+
+
+def view_factor_matrix(
+    meshes: List[Mesh],
+    params: MatrixParams,
+    *,
+    prepared: Optional[PreparedSolver] = None,
+    mesh=None,
+) -> VFDict:
+    """Scene-to-scene view-factor matrix F(i->j) with front/back splits."""
+    if not isinstance(params, MatrixParams):
+        raise TypeError("params must be a MatrixParams instance")
+
+    p = params.as_dict()
+    device = _resolve_device(p["device"])
+    prepared_solver = _ensure_prepared(meshes, prepared)
+    use_bvh = _select_bvh(p["bvh"], prepared_solver.total_faces)
+    reciprocity = bool(p["reciprocity"])
+    flip_faces = bool(p["flip_faces"])
+
+    result: VFDict = {name: {} for name, _, _ in meshes}
+    emitters = prepared_solver.get_emitters(
+        samples=p["samples"], rays=p["rays"], flip_faces=flip_faces
+    )
+    areas = [e.total_area for e in emitters] if reciprocity else None
+    bounds_center, bounds_extent = prepared_solver.get_mesh_bounds()
+    pack_dev, ray_dev = _placements(mesh, device)
+    scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
+    align = _ray_align(mesh)
+
+    n_surf = len(meshes)
+    for idx_emit, (name_e, _, _) in enumerate(meshes):
+        t0 = time.time()
+        emitter = emitters[idx_emit]
+        surf_active = _build_emitter_surface_mask(
+            idx_emit, emitter, bounds_center, bounds_extent
+        )
+        receivers, recv_idx = _matrix_active_receivers(
+            idx_emit, n_surf, reciprocity, surf_active
+        )
+        if not receivers:
+            _emit_log(_progress_line(idx_emit, n_surf, name_e, 0, 0, 0.0, use_bvh, device))
+            continue
+
+        emit_sid, min_sid = _matrix_skip(idx_emit, reciprocity)
+        em_pack = prepared_solver.get_emitter_pack(
+            idx_emit, samples=p["samples"], rays=p["rays"],
+            flip_faces=flip_faces, align=align, device=pack_dev, ray_device=ray_dev,
+        )
+        run = _EmitterRun(
+            scene_pack, em_pack, surf_active, emit_sid, min_sid,
+            p["seed"], idx_emit, pack_dev, mesh=mesh,
+        )
+        monitor = MatrixMonitor(
+            n_surf, recv_idx,
+            n_rays_once=em_pack.n_rays_once,
+            tol=p["tol"], tol_mode=p["tol_mode"],
+            min_iters=p["min_iters"], interval=p["convergence_interval"],
+            max_iters=p["max_iters"],
+        )
+        _drive_monitors(run, monitor, None, discrete=False)
+
+        row: Dict[str, float] = {}
+        total = float(monitor.total_rays)
+        for j in receivers:
+            name_r = meshes[j][0]
+            f = monitor.hits_f[j] / total
+            b = monitor.hits_b[j] / total
+            if f > 0.0:
+                row[f"{name_r}_front"] = f
+                if reciprocity and areas is not None and areas[j] > 0.0:
+                    result[name_r][f"{name_e}_front"] = f * (areas[idx_emit] / areas[j])
+            if b > 0.0:
+                row[f"{name_r}_back"] = b
+        result[name_e].update(row)
+
+        _emit_log(
+            _progress_line(
+                idx_emit, n_surf, name_e, monitor.iters_done,
+                monitor.total_rays, time.time() - t0, use_bvh, device,
+            )
+        )
+
+    if p["enforce_reciprocity_rowsum"]:
+        _enforce_reciprocity_and_rowsum(result, meshes, areas)
+    return result
+
+
+def view_factor(
+    sender,
+    receiver,
+    params: MatrixParams,
+    *,
+    prepared: Optional[PreparedSolver] = None,
+) -> VFDict:
+    """View factors from sender mesh(es) to receiver mesh(es)."""
+    senders = [sender] if isinstance(sender, tuple) else list(sender)
+    receivers = [receiver] if isinstance(receiver, tuple) else list(receiver)
+    vf_all = view_factor_matrix(senders + receivers, params=params, prepared=prepared)
+    return {name: vf_all.get(name, {}) for name in (s[0] for s in senders)}
+
+
+def view_factor_to_tregenza_sky(
+    meshes: List[Mesh],
+    params: SkyParams,
+    *,
+    prepared: Optional[PreparedSolver] = None,
+    mesh=None,
+) -> VFDict:
+    """Sky view factor per emitter: merged 'Sky' or 145 Tregenza patches."""
+    if not isinstance(params, SkyParams):
+        raise TypeError("params must be a SkyParams instance")
+    if len(meshes) == 0:
+        raise ValueError("meshes must not be empty")
+
+    p = params.as_dict()
+    discrete = bool(p["discrete"])
+    device = _resolve_device(p["device"])
+    prepared_solver = _ensure_prepared(meshes, prepared)
+    use_bvh = _select_bvh(p["bvh"], prepared_solver.total_faces)
+    emitters = prepared_solver.get_emitters(
+        samples=p["samples"], rays=p["rays"], flip_faces=False
+    )
+    bounds_center, bounds_extent = prepared_solver.get_mesh_bounds()
+    pack_dev, ray_dev = _placements(mesh, device)
+    scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
+    align = _ray_align(mesh)
+
+    sky_keys = (
+        [f"Sky_Patch_{i}" for i in range(1, 146)] if discrete else ["Sky"]
+    )
+    result: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
+
+    n_surf = len(meshes)
+    for idx_emit, (name_e, _, _) in enumerate(meshes):
+        if n_surf <= 1:
+            continue
+        t0 = time.time()
+        emitter = emitters[idx_emit]
+        surf_active = _build_emitter_surface_mask(
+            idx_emit, emitter, bounds_center, bounds_extent
+        )
+        em_pack = prepared_solver.get_emitter_pack(
+            idx_emit, samples=p["samples"], rays=p["rays"],
+            flip_faces=False, align=align, device=pack_dev, ray_device=ray_dev,
+        )
+        run = _EmitterRun(
+            scene_pack, em_pack, surf_active, idx_emit, 0,
+            p["seed"], idx_emit, pack_dev, mesh=mesh,
+        )
+        monitor = SkyMonitor(
+            discrete=discrete,
+            n_rays_once=em_pack.n_rays_once,
+            tol=p["tol"], tol_mode=p["tol_mode"],
+            min_iters=p["min_iters"], interval=p["convergence_interval"],
+            max_iters=p["max_iters"],
+        )
+        _drive_monitors(run, None, monitor, discrete=discrete)
+
+        total = float(max(1, monitor.total_rays))
+        if discrete:
+            frac = monitor.counts_total.astype(np.float64) / total
+            result[name_e].update(
+                {f"Sky_Patch_{i + 1}": float(frac[i]) for i in range(145)}
+            )
+        else:
+            result[name_e]["Sky"] = float(monitor.upward_total / total)
+
+        _emit_log(
+            _progress_line(
+                idx_emit, n_surf, name_e, monitor.iters_done,
+                monitor.total_rays, time.time() - t0, use_bvh, device,
+            )
+        )
+
+    return result
+
+
+def outside_workflow_shareable(matrix_params: MatrixParams, sky_params: SkyParams) -> bool:
+    """True when one traced ray set can serve both matrix and sky solves.
+
+    Requires identical ray-generation and execution settings (samples, rays,
+    seed, bvh, device, cuda_async, gpu_raygen) and ``flip_faces=False`` on
+    the matrix side (the sky solve assumes outward emission).
+    """
+    if bool(matrix_params.flip_faces):
+        return False
+    shared = ("samples", "rays", "seed", "bvh", "device", "cuda_async", "gpu_raygen")
+    return all(getattr(matrix_params, k) == getattr(sky_params, k) for k in shared)
+
+
+def view_factor_matrix_and_sky(
+    meshes: List[Mesh],
+    *,
+    matrix_params: MatrixParams,
+    sky_params: SkyParams,
+    prepared: Optional[PreparedSolver] = None,
+    mesh=None,
+) -> Tuple[VFDict, VFDict]:
+    """Compute the scene matrix and sky VF from one shared set of rays.
+
+    Per emitter/iteration one ray set is traced once; scene hits feed the
+    matrix, rays missing all geometry feed the sky bins. Matrix and sky
+    convergence are independent — when one side finishes, tracing continues
+    with the cheaper single-output kernel using the same iteration stream.
+    """
+    if not isinstance(matrix_params, MatrixParams):
+        raise TypeError("matrix_params must be a MatrixParams instance")
+    if not isinstance(sky_params, SkyParams):
+        raise TypeError("sky_params must be a SkyParams instance")
+    if not outside_workflow_shareable(matrix_params, sky_params):
+        raise ValueError("matrix_params and sky_params are not compatible for shared tracing")
+
+    mp = matrix_params.as_dict()
+    sp = sky_params.as_dict()
+    discrete = bool(sp["discrete"])
+    reciprocity = bool(mp["reciprocity"])
+    device = _resolve_device(mp["device"])
+    prepared_solver = _ensure_prepared(meshes, prepared)
+    use_bvh = _select_bvh(mp["bvh"], prepared_solver.total_faces)
+    emitters = prepared_solver.get_emitters(
+        samples=mp["samples"], rays=mp["rays"], flip_faces=False
+    )
+    areas = [e.total_area for e in emitters] if reciprocity else None
+    bounds_center, bounds_extent = prepared_solver.get_mesh_bounds()
+    pack_dev, ray_dev = _placements(mesh, device)
+    scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
+    align = _ray_align(mesh)
+
+    vf_scene: VFDict = {name: {} for name, _, _ in meshes}
+    sky_keys = [f"Sky_Patch_{i}" for i in range(1, 146)] if discrete else ["Sky"]
+    sky_vf: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
+
+    n_surf = len(meshes)
+    for idx_emit, (name_e, _, _) in enumerate(meshes):
+        t0 = time.time()
+        emitter = emitters[idx_emit]
+        surf_active = _build_emitter_surface_mask(
+            idx_emit, emitter, bounds_center, bounds_extent
+        )
+        receivers, recv_idx = _matrix_active_receivers(
+            idx_emit, n_surf, reciprocity, surf_active
+        )
+        emit_sid, matrix_min_sid = _matrix_skip(idx_emit, reciprocity)
+        em_pack = prepared_solver.get_emitter_pack(
+            idx_emit, samples=mp["samples"], rays=mp["rays"],
+            flip_faces=False, align=align, device=pack_dev, ray_device=ray_dev,
+        )
+        run = _EmitterRun(
+            scene_pack, em_pack, surf_active, emit_sid, matrix_min_sid,
+            mp["seed"], idx_emit, pack_dev, mesh=mesh,
+        )
+        matrix_mon = (
+            MatrixMonitor(
+                n_surf, recv_idx,
+                n_rays_once=em_pack.n_rays_once,
+                tol=mp["tol"], tol_mode=mp["tol_mode"],
+                min_iters=mp["min_iters"], interval=mp["convergence_interval"],
+                max_iters=mp["max_iters"],
+            )
+            if receivers
+            else None
+        )
+        sky_mon = SkyMonitor(
+            discrete=discrete,
+            n_rays_once=em_pack.n_rays_once,
+            tol=sp["tol"], tol_mode=sp["tol_mode"],
+            min_iters=sp["min_iters"], interval=sp["convergence_interval"],
+            max_iters=sp["max_iters"],
+        )
+        trace_iters = _drive_monitors(run, matrix_mon, sky_mon, discrete=discrete)
+
+        if matrix_mon is not None and matrix_mon.total_rays > 0:
+            row: Dict[str, float] = {}
+            total = float(matrix_mon.total_rays)
+            for j in receivers:
+                name_r = meshes[j][0]
+                f = matrix_mon.hits_f[j] / total
+                b = matrix_mon.hits_b[j] / total
+                if f > 0.0:
+                    row[f"{name_r}_front"] = f
+                    if reciprocity and areas is not None and areas[j] > 0.0:
+                        vf_scene[name_r][f"{name_e}_front"] = f * (
+                            areas[idx_emit] / areas[j]
+                        )
+                if b > 0.0:
+                    row[f"{name_r}_back"] = b
+            vf_scene[name_e].update(row)
+
+        if sky_mon.total_rays > 0:
+            total = float(sky_mon.total_rays)
+            if discrete:
+                frac = sky_mon.counts_total.astype(np.float64) / total
+                sky_vf[name_e].update(
+                    {f"Sky_Patch_{i + 1}": float(frac[i]) for i in range(145)}
+                )
+            else:
+                sky_vf[name_e]["Sky"] = float(sky_mon.upward_total / total)
+
+        matrix_iters = matrix_mon.iters_done if matrix_mon is not None else 0
+        _emit_log(
+            f"({idx_emit + 1}/{n_surf}) [{name_e}] traced {trace_iters} iter, "
+            f"{trace_iters * em_pack.n_rays_once:,} rays -> {time.time() - t0:0.3f}s  "
+            f"(scene={matrix_iters} iter, sky={sky_mon.iters_done} iter, "
+            f"BVH={'builtin' if use_bvh else 'off'}, device={_device_label(device)})"
+        )
+
+    return vf_scene, sky_vf
+
+
+def _ray_align(mesh) -> int:
+    """Per-emitter ray padding alignment: block size times device count."""
+    if mesh is None:
+        return RAY_BLOCK
+    return RAY_BLOCK * int(np.prod([mesh.shape[k] for k in mesh.shape]))
+
+
+def _placements(mesh, device):
+    """(replicated placement, ray-axis placement) for device packs."""
+    if mesh is None:
+        return device, device
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))
+
+
+def _progress_line(
+    idx_emit: int,
+    n_surf: int,
+    name: str,
+    iters: int,
+    rays: int,
+    seconds: float,
+    use_bvh: bool,
+    device,
+) -> str:
+    return (
+        f"({idx_emit + 1}/{n_surf}) [{name}] {iters} iter, {rays:,} rays -> "
+        f"{seconds:0.3f}s  (BVH={'builtin' if use_bvh else 'off'}, "
+        f"device={_device_label(device)})"
+    )
+
+
+__all__ = [
+    "view_factor_matrix",
+    "view_factor",
+    "view_factor_to_tregenza_sky",
+    "view_factor_matrix_and_sky",
+    "outside_workflow_shareable",
+]

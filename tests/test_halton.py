@@ -1,0 +1,48 @@
+"""Halton table values against a scalar radical-inverse oracle."""
+import numpy as np
+
+from raystrack_tpu.ops.halton import cached_halton, cached_halton_dims, radical_inverse
+
+
+def _scalar_halton(i: int, base: int) -> float:
+    f, r = 1.0, 0.0
+    while i:
+        f /= base
+        r += f * (i % base)
+        i //= base
+    return r
+
+
+def test_radical_inverse_matches_scalar():
+    idx = np.arange(1, 2000, dtype=np.int64)
+    for base in (2, 3, 5, 7, 11):
+        vec = radical_inverse(idx, base)
+        ref = np.array([_scalar_halton(int(i), base) for i in idx])
+        np.testing.assert_array_equal(vec, ref)
+
+
+def test_grid_layout_and_range():
+    g = 5
+    u, v = cached_halton(g)
+    assert u.shape == (g * g,) and v.shape == (g * g,)
+    assert u.dtype == np.float32 and v.dtype == np.float32
+    # cell c sits in stratum (c // g) along u and (c % g) along v
+    for c in (0, 7, 24):
+        assert (c // g) / g <= u[c] < (c // g + 1) / g
+        assert (c % g) / g <= v[c] < (c % g + 1) / g
+    ref_u = np.float32((_scalar_halton(8, 2) + 7 // g) / g)
+    assert u[7] == ref_u
+
+
+def test_dims_bases_and_start_index():
+    dims = cached_halton_dims(64)
+    assert len(dims) == 5
+    for arr, base in zip(dims, (5, 2, 3, 7, 11)):
+        assert arr.shape == (64,)
+        assert arr[0] == np.float32(1.0 / base)  # index starts at 1
+        assert np.all((arr >= 0) & (arr < 1))
+
+
+def test_caching_identity():
+    assert cached_halton(6) is cached_halton(6)
+    assert cached_halton_dims(128) is cached_halton_dims(128)

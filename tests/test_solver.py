@@ -1,0 +1,263 @@
+"""End-to-end solver tests: analytical cases, reciprocity, convergence, logs."""
+import math
+import re
+
+import numpy as np
+import pytest
+
+import raystrack_tpu.solver as solver_mod
+from raystrack_tpu import (
+    MatrixParams,
+    PreparedSolver,
+    SkyParams,
+    view_factor,
+    view_factor_matrix,
+    view_factor_matrix_and_sky,
+    view_factor_to_tregenza_sky,
+)
+from raystrack_tpu.utils.geometry import flip_meshes
+
+
+def _square(name, size, z, normal=1, center=(0.0, 0.0)):
+    cx, cy = center
+    h = size / 2.0
+    V = np.array(
+        [
+            [cx - h, cy - h, z],
+            [cx + h, cy - h, z],
+            [cx + h, cy + h, z],
+            [cx - h, cy + h, z],
+        ],
+        dtype=np.float32,
+    )
+    if normal >= 0:
+        F = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    else:
+        F = np.array([[0, 2, 1], [0, 3, 2]], dtype=np.int32)
+    return name, V, F
+
+
+def _analytical_parallel_squares(w: float, h: float) -> float:
+    """F for identical parallel squares of side w separated by h."""
+    x = w / h
+    x2 = x * x
+    return (
+        2.0
+        / (math.pi * x2)
+        * (
+            math.log(math.sqrt((1 + x2) ** 2 / (1 + 2 * x2)))
+            + 2 * x * math.sqrt(1 + x2) * math.atan(x / math.sqrt(1 + x2))
+            - 2 * x * math.atan(x)
+        )
+    )
+
+
+def _params(**kw):
+    base = dict(
+        samples=16,
+        rays=256,
+        seed=11,
+        bvh="off",
+        device="cpu",
+        max_iters=16,
+        tol=1e-3,
+        tol_mode="stderr",
+        min_iters=5,
+        reciprocity=False,
+    )
+    base.update(kw)
+    return MatrixParams(**base)
+
+
+def test_parallel_squares_analytical():
+    meshes = [
+        _square("bottom", 1.0, 0.0, normal=+1),
+        _square("top", 1.0, 1.0, normal=-1),
+    ]
+    vf = view_factor_matrix(meshes, params=_params())
+    want = _analytical_parallel_squares(1.0, 1.0)
+    got = vf["bottom"]["top_front"]
+    assert abs(got - want) < 6e-3
+    got_rev = vf["top"]["bottom_front"]
+    assert abs(got_rev - want) < 6e-3
+
+
+def test_reciprocity_backfill():
+    meshes = [
+        _square("small", 1.0, 0.0, normal=+1),
+        _square("big", 2.0, 1.0, normal=-1),
+    ]
+    vf = view_factor_matrix(meshes, params=_params(reciprocity=True))
+    f_fwd = vf["small"]["big_front"]
+    # A_small / A_big = 1/4
+    assert abs(vf["big"]["small_front"] - f_fwd * 0.25) < 1e-12
+    # with reciprocity, 'big' is never traced as an emitter toward 'small'
+    assert set(vf["big"].keys()) == {"small_front"}
+
+
+def test_view_factor_wrapper():
+    sender = _square("s", 1.0, 0.0, normal=+1)
+    receiver = _square("r", 1.0, 1.0, normal=-1)
+    out = view_factor(sender, receiver, _params())
+    assert set(out.keys()) == {"s"}
+    assert out["s"]["r_front"] > 0.1
+
+
+def test_log_line_format_and_injection(monkeypatch):
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    meshes = [
+        _square("bottom", 1.0, 0.0, normal=+1),
+        _square("top", 1.0, 1.0, normal=-1),
+    ]
+    view_factor_matrix(meshes, params=_params(max_iters=6))
+    assert len(lines) == 2
+    pattern = re.compile(r"\[\s*(?P<name>[^\]]+?)\s*\]\s+(?P<iters>\d+)\s+iter")
+    iters = {m["name"]: int(m["iters"]) for m in map(pattern.search, lines) if m}
+    assert 5 <= iters["bottom"] <= 6 and 5 <= iters["top"] <= 6
+    assert "BVH=off" in lines[0] and "device=cpu" in lines[0]
+
+
+def test_delta_tolerance_mode():
+    meshes = [
+        _square("bottom", 1.0, 0.0, normal=+1),
+        _square("top", 1.0, 1.0, normal=-1),
+    ]
+    vf = view_factor_matrix(meshes, params=_params(tol_mode="delta", tol=5e-3, max_iters=12))
+    assert 0.1 < vf["bottom"]["top_front"] < 0.3
+
+
+def test_max_iters_cap(monkeypatch):
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    meshes = [
+        _square("bottom", 1.0, 0.0, normal=+1),
+        _square("top", 1.0, 1.0, normal=-1),
+    ]
+    view_factor_matrix(meshes, params=_params(tol=1e-9, max_iters=8, min_iters=2))
+    iters = [int(m.group(1)) for m in (re.search(r"(\d+) iter", l) for l in lines) if m]
+    assert iters == [8, 8]
+
+
+def test_plane_culling_skips_behind_receivers(monkeypatch):
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    meshes = [
+        _square("up", 1.0, 0.0, normal=+1),
+        _square("below", 1.0, -1.0, normal=+1),  # entirely behind 'up'
+    ]
+    vf = view_factor_matrix(meshes, params=_params(max_iters=4))
+    # emitter 'up' has no active receivers -> 0 iterations, empty row
+    assert vf["up"] == {}
+    assert "0 iter" in lines[0]
+
+
+def test_closed_box_rowsum(monkeypatch):
+    """Inside a closed box (flip_faces) every row must sum to ~1."""
+    box = [
+        _square("floor", 1.0, 0.0, normal=-1),
+        _square("ceil", 1.0, 1.0, normal=+1),
+    ]
+    # outward-facing plates, flipped during emission -> emit into the gap;
+    # sides are open so this is NOT 1, use the enclosing analytical instead:
+    # two parallel plates: F12 ~ 0.1998; with flip the result must match the
+    # unflipped, inward-facing configuration.
+    vf_flip = view_factor_matrix(box, params=_params(flip_faces=True, max_iters=8))
+    inward = [
+        _square("floor", 1.0, 0.0, normal=+1),
+        _square("ceil", 1.0, 1.0, normal=-1),
+    ]
+    vf_in = view_factor_matrix(inward, params=_params(max_iters=8))
+    # flipped emission from outward plates sees the other plate's back face
+    f_flip = vf_flip["floor"].get("ceil_back", 0.0)
+    f_in = vf_in["floor"].get("ceil_front", 0.0)
+    assert abs(f_flip - f_in) < 6e-3
+
+
+def test_sky_merged_and_discrete():
+    meshes = [
+        _square("ground", 4.0, 0.0, normal=+1),
+        _square("lid", 1.0, 1.0, normal=-1),
+    ]
+    sp = SkyParams(
+        samples=8, rays=128, seed=3, device="cpu", bvh="off",
+        max_iters=8, min_iters=3, tol=2e-3,
+    )
+    sky = view_factor_to_tregenza_sky(meshes, params=sp)
+    merged = sky["ground"]["Sky"]
+    assert 0.5 < merged < 1.0  # lid blocks part of the sky
+
+    sp_d = SkyParams(**{**sp.as_dict(), "discrete": True})
+    sky_d = view_factor_to_tregenza_sky(meshes, params=sp_d)
+    total = sum(sky_d["ground"].values())
+    assert abs(total - merged) < 5e-3
+    assert len(sky_d["ground"]) == 145
+
+
+def test_sky_single_mesh_all_zero():
+    meshes = [_square("only", 1.0, 0.0)]
+    sky = view_factor_to_tregenza_sky(meshes, params=SkyParams(device="cpu"))
+    assert sky["only"]["Sky"] == 0.0
+
+
+def test_matrix_and_sky_matches_separate_solves():
+    meshes = [
+        _square("ground", 2.0, 0.0, normal=+1),
+        _square("lid", 1.5, 1.0, normal=-1, center=(0.3, 0.0)),
+    ]
+    mp = _params(max_iters=8, reciprocity=True)
+    sp = SkyParams(
+        samples=mp.samples, rays=mp.rays, seed=mp.seed, bvh=mp.bvh,
+        device=mp.device, max_iters=8, tol=mp.tol, tol_mode=mp.tol_mode,
+        min_iters=mp.min_iters,
+    )
+    vf_shared, sky_shared = view_factor_matrix_and_sky(
+        meshes, matrix_params=mp, sky_params=sp
+    )
+    vf_sep = view_factor_matrix(meshes, params=mp)
+    sky_sep = view_factor_to_tregenza_sky(meshes, params=sp)
+    assert vf_shared == vf_sep
+    assert sky_shared == sky_sep
+
+
+def test_prepared_solver_reuse_changes_only_seed():
+    meshes = [
+        _square("bottom", 1.0, 0.0, normal=+1),
+        _square("top", 1.0, 1.0, normal=-1),
+    ]
+    ps = PreparedSolver(meshes)
+    a = view_factor_matrix(meshes, params=_params(seed=1, max_iters=6), prepared=ps)
+    b = view_factor_matrix(meshes, params=_params(seed=2, max_iters=6), prepared=ps)
+    c = view_factor_matrix(meshes, params=_params(seed=1, max_iters=6), prepared=ps)
+    assert a == c  # deterministic
+    assert a != b  # seed changes the sample set
+    # but both estimate the same quantity
+    assert abs(a["bottom"]["top_front"] - b["bottom"]["top_front"]) < 1e-2
+
+
+def test_param_type_validation():
+    meshes = [_square("a", 1.0, 0.0)]
+    with pytest.raises(TypeError):
+        view_factor_matrix(meshes, params=SkyParams())
+    with pytest.raises(TypeError):
+        view_factor_to_tregenza_sky(meshes, params=MatrixParams())
+    with pytest.raises(ValueError):
+        view_factor_to_tregenza_sky([], params=SkyParams(device="cpu"))
+    with pytest.raises(ValueError):
+        view_factor_matrix(meshes, params=_params(bvh="bogus"))
+    with pytest.raises(ValueError):
+        view_factor_matrix(meshes, params=_params(device="cuda"))
+
+
+def test_flip_meshes_helper_matches_flip_faces():
+    meshes = [
+        _square("floor", 1.0, 0.0, normal=-1),
+        _square("ceil", 1.0, 1.0, normal=+1),
+    ]
+    vf_param = view_factor_matrix(meshes, params=_params(flip_faces=True, max_iters=6))
+    # flipping geometry and emitting normally samples the same emission side
+    flipped = flip_meshes(meshes)
+    vf_geom = view_factor_matrix(flipped, params=_params(max_iters=6))
+    f1 = sum(vf_param["floor"].values())
+    f2 = sum(vf_geom["floor"].values())
+    assert abs(f1 - f2) < 8e-3

@@ -1,0 +1,120 @@
+"""Outside workflow: scene + sky + rest = 1, clamping, shareability."""
+import numpy as np
+
+from raystrack_tpu import (
+    MatrixParams,
+    SkyParams,
+    outside_workflow_shareable,
+    view_factor_outside_workflow,
+)
+
+
+def _square(name, size, z, normal=1, center=(0.0, 0.0)):
+    cx, cy = center
+    h = size / 2.0
+    V = np.array(
+        [
+            [cx - h, cy - h, z],
+            [cx + h, cy - h, z],
+            [cx + h, cy + h, z],
+            [cx - h, cy + h, z],
+        ],
+        dtype=np.float32,
+    )
+    F = (
+        np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+        if normal >= 0
+        else np.array([[0, 2, 1], [0, 3, 2]], dtype=np.int32)
+    )
+    return name, V, F
+
+
+MESHES = [
+    _square("ground", 2.0, 0.0, normal=+1),
+    _square("panel", 1.0, 0.8, normal=-1, center=(0.2, 0.0)),
+]
+
+
+def _mp(**kw):
+    base = dict(
+        samples=8, rays=128, seed=7, device="cpu", bvh="off",
+        max_iters=8, min_iters=3, tol=1e-3,
+    )
+    base.update(kw)
+    return MatrixParams(**base)
+
+
+def _sp(**kw):
+    base = dict(
+        samples=8, rays=128, seed=7, device="cpu", bvh="off",
+        max_iters=8, min_iters=3, tol=1e-3,
+    )
+    base.update(kw)
+    return SkyParams(**base)
+
+
+def test_shareable_predicate():
+    assert outside_workflow_shareable(_mp(), _sp())
+    assert not outside_workflow_shareable(_mp(samples=16), _sp())
+    assert not outside_workflow_shareable(_mp(seed=1), _sp())
+    assert not outside_workflow_shareable(_mp(flip_faces=True), _sp())
+    assert not outside_workflow_shareable(_mp(device="auto"), _sp())
+    # convergence fields may differ
+    assert outside_workflow_shareable(_mp(tol=1e-2, max_iters=3), _sp())
+
+
+def test_workflow_sums_to_one_shared_path():
+    scene, sky, rest = view_factor_outside_workflow(
+        MESHES, matrix_params=_mp(), sky_params=_sp()
+    )
+    for name, _, _ in MESHES:
+        total = (
+            sum(scene.get(name, {}).values())
+            + sum(sky.get(name, {}).values())
+            + rest[name]["Rest"]
+        )
+        assert abs(total - 1.0) < 1e-9
+        assert rest[name]["Rest"] >= 0.0 or abs(rest[name]["Rest"]) < 1e-6
+    # upward-facing ground sees mostly sky
+    assert sky["ground"]["Sky"] > 0.5
+
+
+def test_workflow_fallback_path_when_not_shareable():
+    scene, sky, rest = view_factor_outside_workflow(
+        MESHES, matrix_params=_mp(samples=16), sky_params=_sp(samples=8)
+    )
+    for name, _, _ in MESHES:
+        total = (
+            sum(scene.get(name, {}).values())
+            + sum(sky.get(name, {}).values())
+            + rest[name]["Rest"]
+        )
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_workflow_discrete_sky():
+    scene, sky, rest = view_factor_outside_workflow(
+        MESHES, matrix_params=_mp(), sky_params=_sp(discrete=True)
+    )
+    assert len(sky["ground"]) == 145
+    total = (
+        sum(scene.get("ground", {}).values())
+        + sum(sky["ground"].values())
+        + rest["ground"]["Rest"]
+    )
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_workflow_enforced_rows():
+    scene, sky, rest = view_factor_outside_workflow(
+        MESHES,
+        matrix_params=_mp(enforce_reciprocity_rowsum=True, reciprocity=True),
+        sky_params=_sp(),
+    )
+    for name, _, _ in MESHES:
+        total = (
+            sum(scene.get(name, {}).values())
+            + sum(sky.get(name, {}).values())
+            + rest[name]["Rest"]
+        )
+        assert abs(total - 1.0) < 1e-6
