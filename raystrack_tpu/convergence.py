@@ -52,8 +52,9 @@ def plan_chunk(
 
     Sized to reach the next convergence checkpoint plus a speculation margin
     of ``SPECULATION_PCT`` percent of completed iterations, capped by the
-    per-dispatch ray budget and ``MAX_CHUNK``. Power-of-two sizes bound the
-    number of distinct compiled shapes per emitter size class.
+    per-dispatch ray budget and ``MAX_CHUNK``. Power-of-FOUR sizes
+    (1, 4, 16, 64) bound the number of distinct compiled shapes per emitter
+    size class — compilation is expensive relative to tracing.
     """
     remaining = int(max_iters) - int(iters_done)
     if remaining <= 0:
@@ -66,8 +67,8 @@ def plan_chunk(
     ray_cap = max(1, TARGET_CHUNK_RAYS // max(1, int(rays_per_iter)))
     bound = min(desired, ray_cap, MAX_CHUNK, remaining)
     chunk = 1
-    while chunk * 2 <= bound:
-        chunk *= 2
+    while chunk * 4 <= bound:
+        chunk *= 4
     return chunk
 
 

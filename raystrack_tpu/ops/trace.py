@@ -123,15 +123,29 @@ def _sweep_tiles(
 
     oxd = jnp.cross(o, d)
 
+    # True-f32 contractions, written as explicit broadcast multiply-adds so
+    # they stay on the VPU. A plain jnp.dot here would route these K=3
+    # contractions to the MXU in bf16, whose ~0.4% relative error
+    # systematically misclassifies edge rays (measured as a +3e-4 bias on
+    # the parallel-plates case); Precision.HIGHEST fixes the bias but pays
+    # for 6-pass MXU emulation at 3/128 utilization. Elementwise f32 is both
+    # exact and faster.
+    def dot3(a, b):  # (B, 3) x (T, 3) -> (B, T)
+        return (
+            a[:, None, 0] * b[None, :, 0]
+            + a[:, None, 1] * b[None, :, 1]
+            + a[:, None, 2] * b[None, :, 2]
+        )
+
     def tile_body(i, carry):
         best_t, best_code, any_hit = carry
         off = i * tri_tile
         sl1 = lambda a: jax.lax.dynamic_slice_in_dim(a, off, tri_tile, axis=0)
-        ce_t = sl1(cross_e).T  # (3, T)
-        det = -(d @ ce_t)  # (B, T)
-        t_num = o @ ce_t - sl1(d0)[None, :]
-        u_num = oxd @ sl1(e2).T + d @ sl1(w_u).T
-        v_num = -(oxd @ sl1(e1).T) - d @ sl1(w_v).T
+        ce = sl1(cross_e)  # (T, 3)
+        det = -dot3(d, ce)  # (B, T)
+        t_num = dot3(o, ce) - sl1(d0)[None, :]
+        u_num = dot3(oxd, sl1(e2)) + dot3(d, sl1(w_u))
+        v_num = -dot3(oxd, sl1(e1)) - dot3(d, sl1(w_v))
 
         sign = jnp.where(det >= 0.0, 1.0, -1.0).astype(det.dtype)
         abs_det = det * sign
@@ -154,9 +168,13 @@ def _sweep_tiles(
         if want_matrix:
             t_masked = jnp.where(valid & sl1(mask_mat)[None, :], t_hit, INF)
             tile_best = jnp.min(t_masked, axis=1)
-            arg = jnp.argmin(t_masked, axis=1)
-            front = jnp.take_along_axis(det, arg[:, None], axis=1)[:, 0] > 0.0
-            code = sl1(sid)[arg] * 2 + front.astype(jnp.int32)
+            # Winner's packed code via a second min-reduction (no gather /
+            # argmin: TPU gathers serialize). Ties pick the smallest code.
+            codes = sl1(sid)[None, :] * 2 + (det > 0.0).astype(jnp.int32)
+            code_masked = jnp.where(
+                t_masked == tile_best[:, None], codes, jnp.int32(2**30)
+            )
+            code = jnp.min(code_masked, axis=1)
             take = tile_best < best_t
             best_t = jnp.where(take, tile_best, best_t)
             best_code = jnp.where(take, code, best_code)

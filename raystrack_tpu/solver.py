@@ -133,6 +133,30 @@ def _matrix_active_receivers(
     return receivers, np.asarray(receivers, dtype=np.int32)
 
 
+def _maybe_profiler():
+    """Optional jax.profiler capture, enabled by RAYSTRACK_TPU_PROFILE=<dir>.
+
+    Returns a callable producing a context manager: a TraceAnnotation inside
+    a running trace when enabled, a no-op otherwise.
+    """
+    import contextlib
+    import os
+
+    trace_dir = os.environ.get("RAYSTRACK_TPU_PROFILE")
+    if not trace_dir:
+        return lambda name: contextlib.nullcontext()
+
+    import jax
+
+    @contextlib.contextmanager
+    def annotated(name: str):
+        with jax.profiler.trace(trace_dir):
+            with jax.profiler.TraceAnnotation(name):
+                yield
+
+    return annotated
+
+
 def _cp_rows(seed: int, idx_emit: int, itr_start: int, chunk: int) -> np.ndarray:
     """Cranley-Patterson offsets for ``chunk`` iterations, reference RNG.
 
@@ -307,8 +331,15 @@ def view_factor_matrix(
     *,
     prepared: Optional[PreparedSolver] = None,
     mesh=None,
-) -> VFDict:
-    """Scene-to-scene view-factor matrix F(i->j) with front/back splits."""
+    return_stats: bool = False,
+):
+    """Scene-to-scene view-factor matrix F(i->j) with front/back splits.
+
+    With ``return_stats=True`` also returns ``{emitter: {receiver_key:
+    stderr}}`` — the per-receiver standard error of the converged estimate.
+    Set ``RAYSTRACK_TPU_PROFILE=<dir>`` to capture a jax.profiler trace of
+    the solve.
+    """
     if not isinstance(params, MatrixParams):
         raise TypeError("params must be a MatrixParams instance")
 
@@ -320,6 +351,8 @@ def view_factor_matrix(
     flip_faces = bool(p["flip_faces"])
 
     result: VFDict = {name: {} for name, _, _ in meshes}
+    stats_result: VFDict = {}
+    profiler = _maybe_profiler()
     emitters = prepared_solver.get_emitters(
         samples=p["samples"], rays=p["rays"], flip_faces=flip_faces
     )
@@ -341,6 +374,7 @@ def view_factor_matrix(
         )
         if not receivers:
             _emit_log(_progress_line(idx_emit, n_surf, name_e, 0, 0, 0.0, use_bvh, device))
+            stats_result[name_e] = {}
             continue
 
         emit_sid, min_sid = _matrix_skip(idx_emit, reciprocity)
@@ -359,9 +393,13 @@ def view_factor_matrix(
             min_iters=p["min_iters"], interval=p["convergence_interval"],
             max_iters=p["max_iters"],
         )
-        _drive_monitors(run, monitor, None, discrete=False)
+        with profiler(f"emitter_{idx_emit}"):
+            _drive_monitors(run, monitor, None, discrete=False)
 
+        se_f = monitor.wf.stderr()
+        se_b = monitor.wb.stderr()
         row: Dict[str, float] = {}
+        stats_row: Dict[str, float] = {}
         total = float(monitor.total_rays)
         for j in receivers:
             name_r = meshes[j][0]
@@ -369,11 +407,14 @@ def view_factor_matrix(
             b = monitor.hits_b[j] / total
             if f > 0.0:
                 row[f"{name_r}_front"] = f
+                stats_row[f"{name_r}_front"] = float(se_f[j])
                 if reciprocity and areas is not None and areas[j] > 0.0:
                     result[name_r][f"{name_e}_front"] = f * (areas[idx_emit] / areas[j])
             if b > 0.0:
                 row[f"{name_r}_back"] = b
+                stats_row[f"{name_r}_back"] = float(se_b[j])
         result[name_e].update(row)
+        stats_result[name_e] = stats_row
 
         _emit_log(
             _progress_line(
@@ -384,6 +425,8 @@ def view_factor_matrix(
 
     if p["enforce_reciprocity_rowsum"]:
         _enforce_reciprocity_and_rowsum(result, meshes, areas)
+    if return_stats:
+        return result, stats_result
     return result
 
 

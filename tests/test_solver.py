@@ -261,3 +261,17 @@ def test_flip_meshes_helper_matches_flip_faces():
     f1 = sum(vf_param["floor"].values())
     f2 = sum(vf_geom["floor"].values())
     assert abs(f1 - f2) < 8e-3
+
+
+def test_return_stats():
+    meshes = [
+        _square("bottom", 1.0, 0.0, normal=+1),
+        _square("top", 1.0, 1.0, normal=-1),
+    ]
+    vf, stats = view_factor_matrix(
+        meshes, params=_params(max_iters=8), return_stats=True
+    )
+    se = stats["bottom"]["top_front"]
+    assert 0.0 < se < 1e-2
+    # stderr should be an honest scale for the actual error
+    assert set(stats.keys()) == {"bottom", "top"}
