@@ -28,7 +28,7 @@ import jax  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", "/tmp/raystrack_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from raystrack_tpu.config import RAY_BLOCK  # noqa: E402
+from raystrack_tpu.config import PALLAS_RAY_BLOCK, PALLAS_TRI_TILE  # noqa: E402
 from raystrack_tpu.ops.trace import trace_chunk  # noqa: E402
 from raystrack_tpu.prepared import PreparedSolver  # noqa: E402
 from raystrack_tpu.solver import _cp_rows  # noqa: E402
@@ -82,11 +82,12 @@ def main():
             np.int32(0),
             np.int32(0),
             np.int32(em.n_rays_once),
-            ray_block=RAY_BLOCK,
-            tri_tile=scene.tri_tile,
+            ray_block=PALLAS_RAY_BLOCK,
+            tri_tile=PALLAS_TRI_TILE,
             want_matrix=True,
             want_any=False,
             discrete=False,
+            kernel="pallas",
         )
 
     def force(out) -> int:

@@ -42,6 +42,23 @@ MAX_CHUNK = _env_int("RAYSTRACK_TPU_MAX_CHUNK", 64)
 # exact per-iteration convergence semantics.
 SPECULATION_PCT = _env_int("RAYSTRACK_TPU_SPECULATION_PCT", 25, minimum=0)
 
+# Intersection sweep implementation: "auto" picks the fused Pallas VMEM
+# kernel on accelerators (single-device) and the XLA tiled sweep elsewhere;
+# "xla"/"pallas" force one. Both produce bitwise-identical counts.
+KERNEL = os.environ.get("RAYSTRACK_TPU_KERNEL", "auto").lower()
+
+# Auto kernel choice uses the Pallas sweep only inside this triangle-count
+# window: below it the solve is not sweep-dominated (the XLA path fuses
+# per-block histograms and avoids materializing rays, which wins on small
+# scenes); above it the (24, Tpad) operand pack no longer fits VMEM.
+PALLAS_MIN_TRIS = _env_int("RAYSTRACK_TPU_PALLAS_MIN_TRIS", 512)
+PALLAS_MAX_TRIS = _env_int("RAYSTRACK_TPU_PALLAS_MAX_TRIS", 32768)
+
+# Pallas sweep tiling (measured optimum on v5e: 512 x 2048; ray blocks of
+# 1024+ overflow VMEM and fail to compile).
+PALLAS_RAY_BLOCK = _env_int("RAYSTRACK_TPU_PALLAS_RAY_BLOCK", 512)
+PALLAS_TRI_TILE = _env_int("RAYSTRACK_TPU_PALLAS_TRI_TILE", 2048)
+
 __all__ = [
     "RAY_BLOCK",
     "TRI_TILE",

@@ -47,13 +47,17 @@ def plan_chunk(
     interval: int,
     max_iters: int,
     rays_per_iter: int,
+    projected_total: Optional[int] = None,
 ) -> int:
-    """Pick the next speculative chunk size (power of two, bounded).
+    """Pick the next speculative chunk size (power of four, bounded).
 
-    Sized to reach the next convergence checkpoint plus a speculation margin
-    of ``SPECULATION_PCT`` percent of completed iterations, capped by the
-    per-dispatch ray budget and ``MAX_CHUNK``. Power-of-FOUR sizes
-    (1, 4, 16, 64) bound the number of distinct compiled shapes per emitter
+    Sized to reach the next convergence checkpoint — or, when the monitor
+    can project how many iterations stderr convergence still needs
+    (se ~ 1/sqrt(n)), straight to that projection — plus a margin of
+    ``SPECULATION_PCT`` percent of completed iterations. Overshoot
+    iterations are discarded by the replay, so speculation trades cheap
+    device compute for expensive host/device round trips. Power-of-FOUR
+    sizes (1, 4, 16, 64) bound the distinct compiled shapes per emitter
     size class — compilation is expensive relative to tracing.
     """
     remaining = int(max_iters) - int(iters_done)
@@ -63,6 +67,8 @@ def plan_chunk(
         need = max(1, int(min_iters)) - iters_done
     else:
         need = max(1, int(interval))
+    if projected_total is not None:
+        need = max(need, int(projected_total) - iters_done)
     desired = min(need + (iters_done * SPECULATION_PCT) // 100, remaining)
     ray_cap = max(1, TARGET_CHUNK_RAYS // max(1, int(rays_per_iter)))
     bound = min(desired, ray_cap, MAX_CHUNK, remaining)
@@ -171,6 +177,20 @@ class MatrixMonitor:
         if self.iters_done >= self.max_iters:
             self.done = True
 
+    def projected_total(self) -> Optional[int]:
+        """Estimated iterations until stderr convergence (se ~ 1/sqrt(n))."""
+        if self.tol_mode != "stderr" or self.iters_done < 2:
+            return None
+        worst = 0.0
+        if self.recv_idx.size:
+            worst = max(
+                float(np.max(self.wf.stderr()[self.recv_idx])),
+                float(np.max(self.wb.stderr()[self.recv_idx])),
+            )
+        if worst <= self.tol:
+            return self.iters_done
+        return int(np.ceil(self.iters_done * (worst / self.tol) ** 2))
+
 
 class SkyMonitor:
     """Convergence state for one emitter's sky fraction (merged or 145-bin)."""
@@ -253,6 +273,18 @@ class SkyMonitor:
 
         if self.iters_done >= self.max_iters:
             self.done = True
+
+    def projected_total(self) -> Optional[int]:
+        """Estimated iterations until stderr convergence (se ~ 1/sqrt(n))."""
+        if self.tol_mode != "stderr" or self.iters_done < 2:
+            return None
+        if self.discrete:
+            worst = float(np.max(self.bins_w.stderr()))
+        else:
+            worst = float(self.sky_w.stderr())
+        if worst <= self.tol:
+            return self.iters_done
+        return int(np.ceil(self.iters_done * (worst / self.tol) ** 2))
 
 
 __all__ = [

@@ -309,9 +309,96 @@ def chunk_body(
     return out
 
 
+def chunk_body_pallas(
+    scene: Tuple,
+    tables: Tuple,
+    geom: Tuple,
+    cp: jnp.ndarray,
+    surf_active_ext: jnp.ndarray,
+    emit_sid: jnp.ndarray,
+    min_sid: jnp.ndarray,
+    n_rays_once: jnp.ndarray,
+    *,
+    ray_block: int,
+    tri_tile: int,
+    want_matrix: bool,
+    want_any: bool,
+    discrete: bool,
+    ray_index_base=0,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Pallas-kernel variant of :func:`chunk_body`.
+
+    Raygen runs as one vectorized XLA program over the whole chunk, the
+    sweep is the fused VMEM kernel (ops/trace_pallas.py), and the histograms
+    reduce the (chunk, n_local) hit codes with plain fused comparisons.
+    """
+    from .trace_pallas import build_tri_pack, sweep_rays
+
+    chunk = cp.shape[0]
+    n_local = tables[0].shape[0]
+    n_total = chunk * n_local
+    n_surf = surf_active_ext.shape[0] - 1
+
+    o, d = jax.vmap(generate_rays, in_axes=(None, None, 0))(tables, geom, cp)
+    rays9 = jnp.concatenate([o, d, jnp.cross(o, d)], axis=-1).reshape(n_total, 9)
+
+    tri_pack = build_tri_pack(scene, surf_active_ext, emit_sid, min_sid)
+    codes, any_hit = sweep_rays(
+        rays9,
+        tri_pack,
+        ray_block=ray_block,
+        tri_tile=tri_tile,
+        want_matrix=want_matrix,
+        want_any=want_any,
+        interpret=interpret,
+    )
+
+    idx_in_iter = (
+        jnp.arange(n_total, dtype=jnp.int32) % n_local + ray_index_base
+    )
+    ray_valid = (idx_in_iter < n_rays_once).reshape(chunk, n_local)
+    codes = codes.reshape(chunk, n_local)
+    any_hit = any_hit.reshape(chunk, n_local) > 0
+
+    out: Dict[str, jnp.ndarray] = {}
+    if want_matrix:
+        codes = jnp.where(ray_valid, codes, -1)
+
+        def count_code(target):
+            return jnp.sum(codes == target, axis=1, dtype=jnp.int32)
+
+        targets_b = jnp.arange(n_surf, dtype=jnp.int32) * 2
+        out["counts_b"] = jax.lax.map(count_code, targets_b).T
+        out["counts_f"] = jax.lax.map(count_code, targets_b + 1).T
+    if want_any:
+        miss = ~any_hit & ray_valid
+        dz = d[..., 2].reshape(chunk, n_local)
+        if discrete:
+            pid = tregenza_patch_id(
+                d[..., 0].reshape(chunk, n_local),
+                d[..., 1].reshape(chunk, n_local),
+                dz,
+            )
+            pid = jnp.where(miss, pid, -1)
+
+            def count_bin(b):
+                return jnp.sum(pid == b, axis=1, dtype=jnp.int32)
+
+            out["sky_bins"] = jax.lax.map(
+                count_bin, jnp.arange(TREGENZA_BINS, dtype=jnp.int32)
+            ).T
+        else:
+            out["upward"] = jnp.sum(miss & (dz > 0.0), axis=1, dtype=jnp.int32)
+    return out
+
+
 @partial(
     jax.jit,
-    static_argnames=("ray_block", "tri_tile", "want_matrix", "want_any", "discrete"),
+    static_argnames=(
+        "ray_block", "tri_tile", "want_matrix", "want_any", "discrete",
+        "kernel", "interpret",
+    ),
 )
 def trace_chunk(
     scene: Tuple,
@@ -328,9 +415,21 @@ def trace_chunk(
     want_matrix: bool,
     want_any: bool,
     discrete: bool,
+    kernel: str = "xla",
+    interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Single-device jitted chunk step. See :func:`chunk_body`."""
-    return chunk_body(
+    body = chunk_body_pallas if kernel == "pallas" else chunk_body
+    kwargs = dict(
+        ray_block=ray_block,
+        tri_tile=tri_tile,
+        want_matrix=want_matrix,
+        want_any=want_any,
+        discrete=discrete,
+    )
+    if kernel == "pallas":
+        kwargs["interpret"] = interpret
+    return body(
         scene,
         tables,
         geom,
@@ -339,12 +438,14 @@ def trace_chunk(
         emit_sid,
         min_sid,
         n_rays_once,
-        ray_block=ray_block,
-        tri_tile=tri_tile,
-        want_matrix=want_matrix,
-        want_any=want_any,
-        discrete=discrete,
+        **kwargs,
     )
 
 
-__all__ = ["generate_rays", "chunk_body", "trace_chunk", "INF"]
+__all__ = [
+    "generate_rays",
+    "chunk_body",
+    "chunk_body_pallas",
+    "trace_chunk",
+    "INF",
+]

@@ -1,0 +1,194 @@
+"""Pallas TPU sweep kernel: Möller-Trumbore over ray blocks x triangle tiles.
+
+Replaces the XLA per-block sweep of ops/trace.py with a single fused VMEM
+kernel. The XLA path materializes several (block, tile) intermediates across
+fusion boundaries (HBM round trips); here one grid step keeps everything in
+VMEM: the per-triangle operand pack is VMEM-resident for the whole grid, a
+ray block is (B, 9) [o | d | o x d] on sublanes, and each tile step computes
+the intersection predicates as (B,1)x(1,T) broadcast multiply-adds (exact
+f32 on the VPU — no MXU, no bf16 rounding), then folds a masked min over the
+tile into the running nearest-hit carry.
+
+Layout choices (all transpose-free):
+- rays   (N, 9)  -> block (B, 9): ray components are (B, 1) columns
+- tris   (24, Tpad), VMEM-resident: operand rows are (1, T) slices
+  rows: 0-2 cross_e, 3-5 e1, 6-8 e2, 9-11 v0 x e2, 12-14 v0 x e1,
+        15 d0 = v0.cross_e, 16 code_base = 2*sid, 17 mask_any, 18 mask_mat
+- outputs (N, 1) i32 hit code / any-hit flag: block (B, 1)
+
+Per-pair math and epsilons are identical to ops/trace.py (|det| >= 1e-7,
+t > 1e-6, front = det > 0); ray-validity masking of padded rays and the
+per-surface histograms stay outside the kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = 1.0e20
+TRI_ROWS = 24  # 19 used, padded to a sublane multiple
+
+ROW_CE = 0
+ROW_E1 = 3
+ROW_E2 = 6
+ROW_WU = 9
+ROW_WV = 12
+ROW_D0 = 15
+ROW_CODE = 16
+ROW_MASK_ANY = 17
+ROW_MASK_MAT = 18
+
+
+def build_tri_pack(scene: Tuple, surf_active_ext, emit_sid, min_sid) -> jnp.ndarray:
+    """Assemble the (24, Tpad) f32 operand pack for one dispatch.
+
+    Masks fold the emitter exclusion, plane culling and the reciprocity
+    half-matrix (sid >= min_sid) into two f32 rows; padded triangles carry
+    cross_e = 0 so det = 0 rejects them without any extra mask.
+    """
+    v0, e1, e2, cross_e, w_u, w_v, d0, sid = scene
+    active = surf_active_ext[sid] > 0
+    m_any = active & (sid != emit_sid)
+    m_mat = m_any & (sid >= min_sid)
+    rows = [
+        cross_e.T,  # (3, T)
+        e1.T,
+        e2.T,
+        w_u.T,
+        w_v.T,
+        d0[None, :],
+        (sid * 2).astype(jnp.float32)[None, :],
+        m_any.astype(jnp.float32)[None, :],
+        m_mat.astype(jnp.float32)[None, :],
+    ]
+    pack = jnp.concatenate([r.astype(jnp.float32) for r in rows], axis=0)
+    pad = TRI_ROWS - pack.shape[0]
+    return jnp.pad(pack, ((0, pad), (0, 0)))
+
+
+def _sweep_kernel(
+    rays_ref, tris_ref, code_ref, any_ref, *, tri_tile: int, want_matrix: bool,
+    want_any: bool
+):
+    n_block = rays_ref.shape[0]
+    n_tri_pad = tris_ref.shape[1]
+    n_tiles = n_tri_pad // tri_tile
+
+    col = lambda j: rays_ref[:, j : j + 1]  # (B, 1)
+    ox, oy, oz = col(0), col(1), col(2)
+    dx, dy, dz = col(3), col(4), col(5)
+    cx, cy, cz = col(6), col(7), col(8)
+
+    def tile_body(i, carry):
+        best_t, best_code, any_hit = carry
+        off = i * tri_tile
+        row = lambda r: tris_ref[r : r + 1, pl.ds(off, tri_tile)]  # (1, T)
+
+        # det = -(d . cross_e); t_num = o . cross_e - d0
+        ce_x, ce_y, ce_z = row(ROW_CE), row(ROW_CE + 1), row(ROW_CE + 2)
+        det = -(dx * ce_x + dy * ce_y + dz * ce_z)
+        t_num = ox * ce_x + oy * ce_y + oz * ce_z - row(ROW_D0)
+
+        # u_num = (o x d) . e2 + d . (v0 x e2)
+        u_num = (
+            cx * row(ROW_E2) + cy * row(ROW_E2 + 1) + cz * row(ROW_E2 + 2)
+            + dx * row(ROW_WU) + dy * row(ROW_WU + 1) + dz * row(ROW_WU + 2)
+        )
+        # v_num = -((o x d) . e1) - d . (v0 x e1)
+        v_num = -(
+            cx * row(ROW_E1) + cy * row(ROW_E1 + 1) + cz * row(ROW_E1 + 2)
+            + dx * row(ROW_WV) + dy * row(ROW_WV + 1) + dz * row(ROW_WV + 2)
+        )
+
+        sign = jnp.where(det >= 0.0, 1.0, -1.0)
+        abs_det = det * sign
+        un = u_num * sign
+        vn = v_num * sign
+        t_hit = t_num / det
+        valid = (
+            (abs_det >= 1e-7)
+            & (un >= 0.0)
+            & (un <= abs_det)
+            & (vn >= 0.0)
+            & (un + vn <= abs_det)
+            & (t_hit > 1e-6)
+        )
+
+        if want_any:
+            blocked = valid & (row(ROW_MASK_ANY) > 0.0)
+            any_hit = any_hit | jnp.any(blocked, axis=1, keepdims=True)
+
+        if want_matrix:
+            t_masked = jnp.where(valid & (row(ROW_MASK_MAT) > 0.0), t_hit, INF)
+            tile_best = jnp.min(t_masked, axis=1, keepdims=True)
+            codes = row(ROW_CODE).astype(jnp.int32) + (det > 0.0).astype(jnp.int32)
+            code_masked = jnp.where(t_masked == tile_best, codes, jnp.int32(2**30))
+            code = jnp.min(code_masked, axis=1, keepdims=True)
+            take = tile_best < best_t
+            best_t = jnp.where(take, tile_best, best_t)
+            best_code = jnp.where(take, code, best_code)
+
+        return best_t, best_code, any_hit
+
+    zero = dx * 0.0  # (B, 1), inherits any shard_map variance
+    init = (zero + INF, zero.astype(jnp.int32) - 1, zero > 0.0)
+    best_t, best_code, any_hit = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+
+    code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
+    any_ref[:, :] = any_hit.astype(jnp.int32)
+
+
+def sweep_rays(
+    rays: jnp.ndarray,  # (N, 9) f32: [o | d | o x d]
+    tri_pack: jnp.ndarray,  # (24, Tpad) f32
+    *,
+    ray_block: int,
+    tri_tile: int,
+    want_matrix: bool,
+    want_any: bool,
+    interpret: bool = False,
+):
+    """Sweep all rays against all triangles; returns (codes (N,), any (N,))."""
+    n = rays.shape[0]
+    n_tri_pad = tri_pack.shape[1]
+    tile = min(tri_tile, n_tri_pad)
+    while tile > 128 and n_tri_pad % tile != 0:
+        tile //= 2
+    grid = (n // ray_block,)
+
+    kernel = functools.partial(
+        _sweep_kernel,
+        tri_tile=tile,
+        want_matrix=want_matrix,
+        want_any=want_any,
+    )
+    codes, any_hit = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (ray_block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TRI_ROWS, n_tri_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((ray_block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.pad(rays, ((0, 0), (0, 16 - rays.shape[1]))), tri_pack)
+    return codes[:, 0], any_hit[:, 0]
+
+
+__all__ = ["build_tri_pack", "sweep_rays", "TRI_ROWS"]

@@ -192,15 +192,17 @@ class _EmitterRun:
         idx_emit: int,
         device,
         mesh=None,
+        kernel: str = "xla",
+        interpret: bool = False,
     ):
         import jax
-        import jax.numpy as jnp
 
-        self._jnp = jnp
         self.scene_pack = scene_pack
         self.em_pack = em_pack
         self.device = device
         self.mesh = mesh
+        self.kernel = kernel
+        self.interpret = interpret
         ext = np.zeros(surf_active.shape[0] + 1, dtype=np.int32)
         ext[:-1] = surf_active
         self.surf_active_ext = jax.device_put(ext, device)
@@ -227,13 +229,27 @@ class _EmitterRun:
             em.cdf, em.tri_a, em.tri_e1, em.tri_e2,
             em.tri_u, em.tri_v, em.tri_n, em.tri_eps,
         )
-        kwargs = dict(
-            ray_block=RAY_BLOCK,
-            tri_tile=scene.tri_tile,
-            want_matrix=want_matrix,
-            want_any=want_any,
-            discrete=discrete,
-        )
+        if self.kernel == "pallas":
+            from .config import PALLAS_RAY_BLOCK, PALLAS_TRI_TILE
+
+            tile = PALLAS_TRI_TILE
+            while tile > 128 and scene.n_tri_pad % tile != 0:
+                tile //= 2
+            kwargs = dict(
+                ray_block=min(PALLAS_RAY_BLOCK, self.em_pack.n_rays_pad),
+                tri_tile=min(tile, scene.n_tri_pad),
+                want_matrix=want_matrix,
+                want_any=want_any,
+                discrete=discrete,
+            )
+        else:
+            kwargs = dict(
+                ray_block=RAY_BLOCK,
+                tri_tile=scene.tri_tile,
+                want_matrix=want_matrix,
+                want_any=want_any,
+                discrete=discrete,
+            )
         if self.mesh is not None:
             from .parallel.sharding import trace_chunk_sharded
 
@@ -248,7 +264,8 @@ class _EmitterRun:
             out = trace_chunk(
                 scene_t, tables_t, geom_t, cp,
                 self.surf_active_ext, self.emit_sid, self.min_sid,
-                self.n_rays_once, **kwargs,
+                self.n_rays_once, kernel=self.kernel,
+                interpret=self.interpret, **kwargs,
             )
         return {k: np.asarray(v) for k, v in out.items()}
 
@@ -286,6 +303,7 @@ def _drive_monitors(
                     interval=mon.interval,
                     max_iters=mon.max_iters,
                     rays_per_iter=run.em_pack.n_rays_pad,
+                    projected_total=mon.projected_total(),
                 ),
             )
         if chunk <= 0:
@@ -359,6 +377,7 @@ def view_factor_matrix(
     areas = [e.total_area for e in emitters] if reciprocity else None
     bounds_center, bounds_extent = prepared_solver.get_mesh_bounds()
     pack_dev, ray_dev = _placements(mesh, device)
+    kernel, interpret = _resolve_kernel(device, mesh, prepared_solver.total_faces)
     scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
     align = _ray_align(mesh)
 
@@ -384,7 +403,7 @@ def view_factor_matrix(
         )
         run = _EmitterRun(
             scene_pack, em_pack, surf_active, emit_sid, min_sid,
-            p["seed"], idx_emit, pack_dev, mesh=mesh,
+            p["seed"], idx_emit, pack_dev, mesh=mesh, kernel=kernel, interpret=interpret,
         )
         monitor = MatrixMonitor(
             n_surf, recv_idx,
@@ -467,6 +486,7 @@ def view_factor_to_tregenza_sky(
     )
     bounds_center, bounds_extent = prepared_solver.get_mesh_bounds()
     pack_dev, ray_dev = _placements(mesh, device)
+    kernel, interpret = _resolve_kernel(device, mesh, prepared_solver.total_faces)
     scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
     align = _ray_align(mesh)
 
@@ -490,7 +510,7 @@ def view_factor_to_tregenza_sky(
         )
         run = _EmitterRun(
             scene_pack, em_pack, surf_active, idx_emit, 0,
-            p["seed"], idx_emit, pack_dev, mesh=mesh,
+            p["seed"], idx_emit, pack_dev, mesh=mesh, kernel=kernel, interpret=interpret,
         )
         monitor = SkyMonitor(
             discrete=discrete,
@@ -568,6 +588,7 @@ def view_factor_matrix_and_sky(
     areas = [e.total_area for e in emitters] if reciprocity else None
     bounds_center, bounds_extent = prepared_solver.get_mesh_bounds()
     pack_dev, ray_dev = _placements(mesh, device)
+    kernel, interpret = _resolve_kernel(device, mesh, prepared_solver.total_faces)
     scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
     align = _ray_align(mesh)
 
@@ -592,7 +613,7 @@ def view_factor_matrix_and_sky(
         )
         run = _EmitterRun(
             scene_pack, em_pack, surf_active, emit_sid, matrix_min_sid,
-            mp["seed"], idx_emit, pack_dev, mesh=mesh,
+            mp["seed"], idx_emit, pack_dev, mesh=mesh, kernel=kernel, interpret=interpret,
         )
         matrix_mon = (
             MatrixMonitor(
@@ -667,6 +688,30 @@ def _placements(mesh, device):
 
     axis = mesh.axis_names[0]
     return NamedSharding(mesh, P()), NamedSharding(mesh, P(axis))
+
+
+def _resolve_kernel(device, mesh, n_tri: int = 0) -> Tuple[str, bool]:
+    """(sweep kernel name, interpret flag) for this device/mesh combo.
+
+    The Pallas sweep keeps the whole triangle-operand pack VMEM-resident, so
+    "auto" falls back to the XLA tiled sweep beyond PALLAS_MAX_TRIS.
+    """
+    from .config import KERNEL, PALLAS_MAX_TRIS, PALLAS_MIN_TRIS
+
+    if KERNEL in ("xla", "pallas"):
+        kernel = KERNEL
+    else:
+        kernel = (
+            "pallas"
+            if (
+                mesh is None
+                and device.platform != "cpu"
+                and PALLAS_MIN_TRIS <= n_tri <= PALLAS_MAX_TRIS
+            )
+            else "xla"
+        )
+    interpret = kernel == "pallas" and device.platform == "cpu"
+    return kernel, interpret
 
 
 def _progress_line(

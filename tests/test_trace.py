@@ -296,3 +296,38 @@ def test_matches_float64_oracle_statistically():
     tol = max(3, int(0.003 * n_rays))
     assert np.all(np.abs(out["counts_f"][0] - want_f) <= tol)
     assert np.all(np.abs(out["counts_b"][0] - want_b) <= tol)
+
+
+def test_pallas_kernel_matches_xla():
+    """The fused Pallas sweep (interpret mode on CPU) is bitwise-identical
+    to the XLA tiled sweep."""
+    meshes = [
+        _square("emitter", 1.0, 0.0),
+        _square("mid", 1.5, 0.7, normal=-1, center=(0.3, -0.2)),
+        _square("top", 3.0, 1.3, normal=+1, center=(-0.4, 0.1)),
+    ]
+    import jax.numpy as jnp
+
+    ps = PreparedSolver(meshes)
+    scene = ps.get_scene_pack()
+    em = ps.get_emitter_pack(0, samples=8, rays=32, flip_faces=False)
+    emitter = ps.get_emitter(0, samples=8, rays=32, flip_faces=False)
+    centers, extents = ps.get_mesh_bounds()
+    surf_active = _build_emitter_surface_mask(0, emitter, centers, extents)
+    ext = np.zeros(len(meshes) + 1, dtype=np.int32)
+    ext[:-1] = surf_active
+    cp = _cp_rows(5, 0, 0, 2)
+    args = (
+        (scene.v0, scene.e1, scene.e2, scene.cross_e, scene.w_u, scene.w_v, scene.d0, scene.sid),
+        (em.u_cell, em.v_cell, em.h_tri, em.h_u, em.h_v, em.h_r1, em.h_r2),
+        (em.cdf, em.tri_a, em.tri_e1, em.tri_e2, em.tri_u, em.tri_v, em.tri_n, em.tri_eps),
+        jnp.asarray(cp), jnp.asarray(ext),
+        jnp.int32(0), jnp.int32(0), jnp.int32(em.n_rays_once),
+    )
+    kw = dict(ray_block=RAY_BLOCK, tri_tile=scene.tri_tile,
+              want_matrix=True, want_any=True, discrete=True)
+    a = {k: np.asarray(v) for k, v in trace_chunk(*args, kernel="xla", **kw).items()}
+    b = {k: np.asarray(v) for k, v in trace_chunk(*args, kernel="pallas", interpret=True, **kw).items()}
+    assert set(a) == set(b) == {"counts_f", "counts_b", "sky_bins"}
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key])
