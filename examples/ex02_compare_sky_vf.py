@@ -27,24 +27,31 @@ from raystrack_tpu import (
 )
 
 GROUND_NAME = "infinite_ground"
-GROUND_HALF_SIZE = 2000.0
+GROUND_MARGIN = 100.0  # extra extent beyond the scene bounds
 
 
-def ground_plane():
-    s = GROUND_HALF_SIZE
-    V = np.array([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]], np.float32)
+def ground_plane(meshes):
+    """A large ground quad sized from the scene bounds, slightly below the
+    lowest z so it never lies coplanar with scene geometry."""
+    all_v = np.concatenate([V for _, V, _ in meshes], axis=0)
+    lo = all_v.min(axis=0)
+    hi = all_v.max(axis=0)
+    x0, x1 = float(lo[0] - GROUND_MARGIN), float(hi[0] + GROUND_MARGIN)
+    y0, y1 = float(lo[1] - GROUND_MARGIN), float(hi[1] + GROUND_MARGIN)
+    z = float(lo[2]) - 1e-3
+    V = np.array([[x0, y0, z], [x1, y0, z], [x1, y1, z], [x0, y1, z]], np.float32)
     F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
     return GROUND_NAME, V, F
 
 
 def main():
-    canyon = [m for m in build_street_canyon() if m[0] != "road"]
-    with_ground = canyon + [ground_plane()]
+    canyon = build_street_canyon()
+    with_ground = canyon + [ground_plane(canyon)]
 
-    shared = dict(samples=16, rays=256, seed=20, bvh="auto", device="auto",
-                  min_iters=10, tol=1e-4, tol_mode="stderr")
-    matrix_params = MatrixParams(**shared, max_iters=100, reciprocity=False)
-    sky_params = SkyParams(**shared, max_iters=100, discrete=False)
+    shared = dict(samples=16, rays=128, seed=20, bvh="auto", device="auto",
+                  min_iters=1, tol=1e-4, tol_mode="stderr")
+    matrix_params = MatrixParams(**shared, max_iters=50, reciprocity=False)
+    sky_params = SkyParams(**shared, max_iters=50, discrete=False)
 
     print("Computing scene VF matrix (facades + large ground plane)...")
     vf_scene = view_factor_matrix(with_ground, params=matrix_params)

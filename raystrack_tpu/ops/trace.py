@@ -94,6 +94,53 @@ def generate_rays(tables: Tuple, geom: Tuple, cp_row: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# Surface masks and tile-level culling
+# ---------------------------------------------------------------------------
+
+
+def compute_masks(scene, surf_active_ext, emit_sid, min_sid, plane_vec=None):
+    """Per-triangle (sky-eligible, matrix-eligible) masks for one emitter.
+
+    Folds the active-surface vector, emitter exclusion, the reciprocity
+    half-matrix minimum sid, and — for planar emitters — triangle-exact
+    plane culling: a triangle whose three vertices all lie at signed
+    distance <= plane_tol behind the emission plane can never be hit by a
+    ray launched from that plane, exactly the reference's mesh-level cull
+    (main.py:167-204) applied per triangle.
+
+    ``plane_vec`` is an (8,) f32 device vector
+    ``[origin(3), normal(3), tol, is_planar]``.
+    """
+    v0, e1, e2, cross_e, w_u, w_v, d0, sid = scene
+    active = surf_active_ext[sid] > 0
+    m_any = active & (sid != emit_sid)
+    m_mat = m_any & (sid >= min_sid)
+    if plane_vec is not None:
+        origin = plane_vec[:3]
+        normal = plane_vec[3:6]
+        tol = plane_vec[6]
+        is_planar = plane_vec[7] > 0.0
+        s0 = (v0 - origin[None, :]) @ normal
+        s1 = s0 + e1 @ normal
+        s2 = s0 + e2 @ normal
+        reachable = jnp.maximum(jnp.maximum(s0, s1), s2) > tol
+        keep = jnp.where(is_planar, reachable, True)
+        m_any = m_any & keep
+        m_mat = m_mat & keep
+    return m_any, m_mat
+
+
+def tile_activity(mask: jnp.ndarray, tri_tile: int) -> jnp.ndarray:
+    """(n_tiles,) int32 flags: does any eligible triangle live in the tile?
+
+    With Morton-ordered triangles (prepared.pack_scene, accel on), culled
+    regions are contiguous, so whole tiles drop out of the sweep.
+    """
+    n_tiles = mask.shape[0] // tri_tile
+    return jnp.any(mask.reshape(n_tiles, tri_tile), axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # Tiled intersection sweep
 # ---------------------------------------------------------------------------
 
@@ -109,6 +156,7 @@ def _sweep_tiles(
     tri_tile: int,
     want_matrix: bool,
     want_any: bool,
+    tile_active: jnp.ndarray | None = None,
 ):
     """All-pairs sweep of one ray block against all triangle tiles.
 
@@ -181,6 +229,14 @@ def _sweep_tiles(
 
         return best_t, best_code, any_hit
 
+    if tile_active is not None:
+        inner_body = tile_body
+
+        def tile_body(i, carry):  # noqa: F811 - conditional wrapper
+            return jax.lax.cond(
+                tile_active[i] > 0, lambda c: inner_body(i, c), lambda c: c, carry
+            )
+
     # Derive the loop carry from the (possibly shard_map-varying) ray arrays
     # so its variance annotation matches the loop body's outputs.
     zero = o[:, 0] * 0.0
@@ -240,6 +296,7 @@ def chunk_body(
     want_any: bool,
     discrete: bool,
     ray_index_base=0,
+    plane_vec=None,
 ) -> Dict[str, jnp.ndarray]:
     """Trace ``chunk`` iterations over the local per-ray tables.
 
@@ -249,15 +306,13 @@ def chunk_body(
     psummed by the caller). Per-iteration ray counts are raw local counts;
     normalization happens on host.
     """
-    sid = scene[7]
     chunk = cp.shape[0]
     n_local = tables[0].shape[0]
     blocks_per_iter = n_local // ray_block
     n_blocks = chunk * blocks_per_iter
 
-    active = surf_active_ext[sid] > 0
-    m_any = active & (sid != emit_sid)
-    m_mat = m_any & (sid >= min_sid)
+    m_any, m_mat = compute_masks(scene, surf_active_ext, emit_sid, min_sid, plane_vec)
+    tiles_on = tile_activity(m_any if want_any else m_mat, tri_tile)
     n_surf = surf_active_ext.shape[0] - 1
 
     block_ids = jnp.arange(n_blocks, dtype=jnp.int32)
@@ -283,6 +338,7 @@ def chunk_body(
             tri_tile=tri_tile,
             want_matrix=want_matrix,
             want_any=want_any,
+            tile_active=tiles_on,
         )
 
         out: Dict[str, jnp.ndarray] = {}
@@ -325,6 +381,7 @@ def chunk_body_pallas(
     want_any: bool,
     discrete: bool,
     ray_index_base=0,
+    plane_vec=None,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Pallas-kernel variant of :func:`chunk_body`.
@@ -343,10 +400,12 @@ def chunk_body_pallas(
     o, d = jax.vmap(generate_rays, in_axes=(None, None, 0))(tables, geom, cp)
     rays9 = jnp.concatenate([o, d, jnp.cross(o, d)], axis=-1).reshape(n_total, 9)
 
-    tri_pack = build_tri_pack(scene, surf_active_ext, emit_sid, min_sid)
+    m_any, m_mat = compute_masks(scene, surf_active_ext, emit_sid, min_sid, plane_vec)
+    tri_pack = build_tri_pack(scene, m_any, m_mat)
     codes, any_hit = sweep_rays(
         rays9,
         tri_pack,
+        m_any if want_any else m_mat,
         ray_block=ray_block,
         tri_tile=tri_tile,
         want_matrix=want_matrix,
@@ -409,6 +468,7 @@ def trace_chunk(
     emit_sid: jnp.ndarray,
     min_sid: jnp.ndarray,
     n_rays_once: jnp.ndarray,
+    plane_vec=None,
     *,
     ray_block: int,
     tri_tile: int,
@@ -426,6 +486,7 @@ def trace_chunk(
         want_matrix=want_matrix,
         want_any=want_any,
         discrete=discrete,
+        plane_vec=plane_vec,
     )
     if kernel == "pallas":
         kwargs["interpret"] = interpret

@@ -44,17 +44,15 @@ ROW_MASK_ANY = 17
 ROW_MASK_MAT = 18
 
 
-def build_tri_pack(scene: Tuple, surf_active_ext, emit_sid, min_sid) -> jnp.ndarray:
+def build_tri_pack(scene: Tuple, m_any, m_mat) -> jnp.ndarray:
     """Assemble the (24, Tpad) f32 operand pack for one dispatch.
 
-    Masks fold the emitter exclusion, plane culling and the reciprocity
-    half-matrix (sid >= min_sid) into two f32 rows; padded triangles carry
-    cross_e = 0 so det = 0 rejects them without any extra mask.
+    The precomputed masks (ops.trace.compute_masks) fold emitter exclusion,
+    plane culling and the reciprocity half-matrix into two f32 rows; padded
+    triangles carry cross_e = 0 so det = 0 rejects them without any extra
+    mask.
     """
     v0, e1, e2, cross_e, w_u, w_v, d0, sid = scene
-    active = surf_active_ext[sid] > 0
-    m_any = active & (sid != emit_sid)
-    m_mat = m_any & (sid >= min_sid)
     rows = [
         cross_e.T,  # (3, T)
         e1.T,
@@ -72,8 +70,8 @@ def build_tri_pack(scene: Tuple, surf_active_ext, emit_sid, min_sid) -> jnp.ndar
 
 
 def _sweep_kernel(
-    rays_ref, tris_ref, code_ref, any_ref, *, tri_tile: int, want_matrix: bool,
-    want_any: bool
+    rays_ref, tris_ref, tiles_on_ref, code_ref, any_ref, *, tri_tile: int,
+    want_matrix: bool, want_any: bool
 ):
     n_block = rays_ref.shape[0]
     n_tri_pad = tris_ref.shape[1]
@@ -135,9 +133,15 @@ def _sweep_kernel(
 
         return best_t, best_code, any_hit
 
+    def guarded_body(i, carry):
+        # whole-tile skip: Morton clustering makes culled regions contiguous
+        return jax.lax.cond(
+            tiles_on_ref[0, i] > 0, lambda c: tile_body(i, c), lambda c: c, carry
+        )
+
     zero = dx * 0.0  # (B, 1), inherits any shard_map variance
     init = (zero + INF, zero.astype(jnp.int32) - 1, zero > 0.0)
-    best_t, best_code, any_hit = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+    best_t, best_code, any_hit = jax.lax.fori_loop(0, n_tiles, guarded_body, init)
 
     code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
     any_ref[:, :] = any_hit.astype(jnp.int32)
@@ -146,6 +150,7 @@ def _sweep_kernel(
 def sweep_rays(
     rays: jnp.ndarray,  # (N, 9) f32: [o | d | o x d]
     tri_pack: jnp.ndarray,  # (24, Tpad) f32
+    sweep_mask: jnp.ndarray,  # (Tpad,) bool: triangles this sweep may touch
     *,
     ray_block: int,
     tri_tile: int,
@@ -160,6 +165,8 @@ def sweep_rays(
     while tile > 128 and n_tri_pad % tile != 0:
         tile //= 2
     grid = (n // ray_block,)
+    n_tiles = n_tri_pad // tile
+    tiles_on = jnp.any(sweep_mask.reshape(n_tiles, tile), axis=1).astype(jnp.int32)
 
     kernel = functools.partial(
         _sweep_kernel,
@@ -177,6 +184,7 @@ def sweep_rays(
             pl.BlockSpec(
                 (TRI_ROWS, n_tri_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec((1, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((ray_block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -187,7 +195,11 @@ def sweep_rays(
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(jnp.pad(rays, ((0, 0), (0, 16 - rays.shape[1]))), tri_pack)
+    )(
+        jnp.pad(rays, ((0, 0), (0, 16 - rays.shape[1]))),
+        tri_pack,
+        tiles_on[None, :],
+    )
     return codes[:, 0], any_hit[:, 0]
 
 

@@ -48,7 +48,10 @@ def _build_sharded_step(
     shard_tables: Tuple = tuple(P(axis) for _ in range(7))
     rep_geom: Tuple = tuple(P() for _ in range(8))
 
-    def local_step(scene, tables, geom, cp, surf_active_ext, emit_sid, min_sid, n_rays_once):
+    def local_step(
+        scene, tables, geom, cp, surf_active_ext, emit_sid, min_sid,
+        n_rays_once, plane_vec,
+    ):
         local_n = tables[0].shape[0]
         base = jax.lax.axis_index(axis).astype(jnp.int32) * local_n
         out = chunk_body(
@@ -66,13 +69,14 @@ def _build_sharded_step(
             want_any=want_any,
             discrete=discrete,
             ray_index_base=base,
+            plane_vec=plane_vec,
         )
         return jax.tree.map(lambda x: jax.lax.psum(x, axis), out)
 
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(rep_scene, shard_tables, rep_geom, P(), P(), P(), P(), P()),
+        in_specs=(rep_scene, shard_tables, rep_geom, P(), P(), P(), P(), P(), P()),
         out_specs=P(),
     )
     return jax.jit(sharded)
@@ -88,6 +92,7 @@ def trace_chunk_sharded(
     emit_sid,
     min_sid,
     n_rays_once,
+    plane_vec=None,
     *,
     ray_block: int,
     tri_tile: int,
@@ -104,7 +109,12 @@ def trace_chunk_sharded(
         mesh, ray_block, tri_tile, want_matrix, want_any, discrete
     )
     cp = jnp.asarray(cp, dtype=jnp.float32)
-    return step(scene, tables, geom, cp, surf_active_ext, emit_sid, min_sid, n_rays_once)
+    if plane_vec is None:
+        plane_vec = jnp.zeros(8, dtype=jnp.float32)
+    return step(
+        scene, tables, geom, cp, surf_active_ext, emit_sid, min_sid,
+        n_rays_once, plane_vec,
+    )
 
 
 __all__ = ["ray_mesh", "trace_chunk_sharded", "RAY_AXIS"]

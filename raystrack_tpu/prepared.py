@@ -285,6 +285,34 @@ def _round_up(n: int, align: int) -> int:
     return ((max(n, 1) + align - 1) // align) * align
 
 
+def morton_order(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> np.ndarray:
+    """Triangle permutation by 30-bit Morton code of quantized centroids.
+
+    Spatially clustering triangles makes per-emitter culling coherent at the
+    tile level: unreachable triangles (e.g. everything behind an emitter's
+    plane) land in contiguous tiles that the sweep kernels skip whole. This
+    is the TPU-native stand-in for the reference's BVH reordering
+    (reference: bvh.py:14-72) — the dense sweep has no traversal, so
+    clustering + tile skipping plays the role of subtree pruning.
+    """
+    centroid = v0 + (e1 + e2) / 3.0
+    lo = centroid.min(axis=0)
+    span = np.maximum(centroid.max(axis=0) - lo, 1e-12)
+    q = np.clip(((centroid - lo) / span) * 1023.0, 0, 1023).astype(np.uint64)
+
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
 def pick_tri_tile(n_tri_pad: int) -> int:
     """Largest tile width from {TRI_TILE, ..., 128} dividing the padded count."""
     tile = TRI_TILE
@@ -347,6 +375,7 @@ class EmitterPack:
     tri_v: Any
     tri_n: Any
     tri_eps: Any  # (F,) f32
+    plane_vec: Any  # (8,) f32 [origin, normal, tol, is_planar] for culling
     n_rays_once: int  # true rays per iteration (pre-padding)
     n_rays_pad: int
 
@@ -358,9 +387,14 @@ def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
     n_tri_pad = _round_up(n_tri, 128)
     tile = pick_tri_tile(n_tri_pad)
 
+    if scene.use_accel and n_tri > 1:
+        perm = morton_order(scene.v0, scene.e1, scene.e2)
+    else:
+        perm = np.arange(n_tri, dtype=np.int32)
+
     def pad3(a: np.ndarray) -> np.ndarray:
         out = np.zeros((n_tri_pad, 3), dtype=np.float32)
-        out[:n_tri] = a
+        out[:n_tri] = a[perm]
         return out
 
     v0 = pad3(scene.v0)
@@ -371,7 +405,7 @@ def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
     w_v = np.cross(v0, e1).astype(np.float32)
     d0 = np.einsum("ij,ij->i", v0, cross_e).astype(np.float32)
     sid = np.full(n_tri_pad, n_surf, dtype=np.int32)
-    sid[:n_tri] = scene.sid
+    sid[:n_tri] = scene.sid[perm]
 
     put = lambda a: jax.device_put(a, device)
     return ScenePack(
@@ -433,6 +467,15 @@ def pack_emitter(
         tri_v=put(emitter.tri_v),
         tri_n=put(emitter.tri_n),
         tri_eps=put(emitter.tri_origin_eps),
+        plane_vec=put(
+            np.concatenate(
+                [
+                    emitter.plane_origin.astype(np.float32),
+                    emitter.plane_normal.astype(np.float32),
+                    np.float32([emitter.plane_tol, 1.0 if emitter.plane_is_planar else 0.0]),
+                ]
+            )
+        ),
         n_rays_once=n_rays_once,
         n_rays_pad=n_rays_pad,
     )

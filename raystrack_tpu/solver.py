@@ -256,7 +256,7 @@ class _EmitterRun:
             out = trace_chunk_sharded(
                 self.mesh, scene_t, tables_t, geom_t, cp,
                 self.surf_active_ext, self.emit_sid, self.min_sid,
-                self.n_rays_once, **kwargs,
+                self.n_rays_once, em.plane_vec, **kwargs,
             )
         else:
             from .ops.trace import trace_chunk
@@ -264,7 +264,7 @@ class _EmitterRun:
             out = trace_chunk(
                 scene_t, tables_t, geom_t, cp,
                 self.surf_active_ext, self.emit_sid, self.min_sid,
-                self.n_rays_once, kernel=self.kernel,
+                self.n_rays_once, em.plane_vec, kernel=self.kernel,
                 interpret=self.interpret, **kwargs,
             )
         return {k: np.asarray(v) for k, v in out.items()}

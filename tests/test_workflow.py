@@ -118,3 +118,27 @@ def test_workflow_enforced_rows():
             + rest[name]["Rest"]
         )
         assert abs(total - 1.0) < 1e-6
+
+
+def test_combined_independent_convergence(monkeypatch):
+    """One side converging early must not stop the other side's iterations."""
+    import re
+    import raystrack_tpu.solver as solver_mod
+    from raystrack_tpu import view_factor_matrix_and_sky
+
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    # sky gets a loose tolerance (converges at min_iters), matrix runs longer;
+    # reciprocity off so every emitter has matrix receivers
+    mp = _mp(tol=1e-9, max_iters=10, min_iters=2, reciprocity=False)
+    sp = _sp(tol=1.0, max_iters=10, min_iters=2)
+    view_factor_matrix_and_sky(MESHES, matrix_params=mp, sky_params=sp)
+    stats = {}
+    for line in lines:
+        m = re.search(r"\[(\w+)\] traced (\d+) iter.*scene=(\d+) iter, sky=(\d+) iter", line)
+        if m:
+            stats[m.group(1)] = (int(m.group(2)), int(m.group(3)), int(m.group(4)))
+    for name, (traced, scene_iters, sky_iters) in stats.items():
+        assert sky_iters == 2, (name, stats[name])     # loose tol: stops at min
+        assert scene_iters == 10, (name, stats[name])  # tight tol: runs to max
+        assert traced == 10
