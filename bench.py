@@ -33,9 +33,9 @@ from raystrack_tpu.ops.trace import trace_chunk  # noqa: E402
 from raystrack_tpu.prepared import PreparedSolver  # noqa: E402
 from raystrack_tpu.solver import _cp_rows  # noqa: E402
 
-N_TRI = 2048  # triangle-soup size (multiple of the tile width: no padding)
-RAYS_PER_CELL = 1024
-SAMPLES = 4  # 16x16 emitter area 256 -> g = sqrt(256*4) = 32 -> 2^20 rays/iter
+N_TRI = 98304  # triangle-soup size (multiple of the tile width: no padding)
+RAYS_PER_CELL = 256
+SAMPLES = 1  # 16x16 emitter area 256 -> g = 16 -> 65536 rays/iter
 CHUNK = 4
 REPS = 5
 
@@ -49,7 +49,7 @@ def _bench_scene():
 
     rng = np.random.default_rng(0)
     n_cloud = N_TRI - 2
-    centers = rng.uniform([-8, -8, 2], [8, 8, 10], size=(n_cloud, 3))
+    centers = rng.uniform([-8, -8, 2], [8, 8, 30], size=(n_cloud, 3))
     spans = rng.normal(scale=0.4, size=(n_cloud, 2, 3))
     Vc = np.concatenate(
         [centers, centers + spans[:, 0], centers + spans[:, 1]], axis=1

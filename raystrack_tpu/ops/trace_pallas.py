@@ -147,6 +147,101 @@ def _sweep_kernel(
     any_ref[:, :] = any_hit.astype(jnp.int32)
 
 
+def _sweep_kernel_streamed(
+    rays_ref, tris_hbm, tiles_on_ref, code_ref, any_ref, *,
+    tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool
+):
+    """HBM-streaming variant: the operand pack stays in HBM and tile slices
+    are double-buffered into VMEM scratch, so scene size is unbounded.
+
+    The sweep is compute-bound for blocks of >= a few hundred rays (each
+    streamed byte feeds ray_block pair tests), so the DMA pipeline hides
+    entirely behind the tile math.
+    """
+    col = lambda j: rays_ref[:, j : j + 1]  # (B, 1)
+    ox, oy, oz = col(0), col(1), col(2)
+    dx, dy, dz = col(3), col(4), col(5)
+    cx, cy, cz = col(6), col(7), col(8)
+
+    def body(buf_ref, sem_ref):
+        def tile_dma(slot, i):
+            return pltpu.make_async_copy(
+                tris_hbm.at[:, pl.ds(i * tri_tile, tri_tile)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+
+        tile_dma(0, 0).start()
+
+        def tile_body(i, carry):
+            best_t, best_code, any_hit = carry
+            slot = i % 2
+
+            @pl.when(i + 1 < n_tiles)
+            def _():
+                tile_dma((i + 1) % 2, i + 1).start()
+
+            tile_dma(slot, i).wait()
+            row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
+
+            ce_x, ce_y, ce_z = row(ROW_CE), row(ROW_CE + 1), row(ROW_CE + 2)
+            det = -(dx * ce_x + dy * ce_y + dz * ce_z)
+            t_num = ox * ce_x + oy * ce_y + oz * ce_z - row(ROW_D0)
+            u_num = (
+                cx * row(ROW_E2) + cy * row(ROW_E2 + 1) + cz * row(ROW_E2 + 2)
+                + dx * row(ROW_WU) + dy * row(ROW_WU + 1) + dz * row(ROW_WU + 2)
+            )
+            v_num = -(
+                cx * row(ROW_E1) + cy * row(ROW_E1 + 1) + cz * row(ROW_E1 + 2)
+                + dx * row(ROW_WV) + dy * row(ROW_WV + 1) + dz * row(ROW_WV + 2)
+            )
+
+            sign = jnp.where(det >= 0.0, 1.0, -1.0)
+            abs_det = det * sign
+            un = u_num * sign
+            vn = v_num * sign
+            t_hit = t_num / det
+            valid = (
+                (abs_det >= 1e-7)
+                & (un >= 0.0)
+                & (un <= abs_det)
+                & (vn >= 0.0)
+                & (un + vn <= abs_det)
+                & (t_hit > 1e-6)
+            )
+
+            if want_any:
+                blocked = valid & (row(ROW_MASK_ANY) > 0.0)
+                any_hit = any_hit | jnp.any(blocked, axis=1, keepdims=True)
+            if want_matrix:
+                t_masked = jnp.where(valid & (row(ROW_MASK_MAT) > 0.0), t_hit, INF)
+                tile_best = jnp.min(t_masked, axis=1, keepdims=True)
+                codes = row(ROW_CODE).astype(jnp.int32) + (det > 0.0).astype(
+                    jnp.int32
+                )
+                code_masked = jnp.where(
+                    t_masked == tile_best, codes, jnp.int32(2**30)
+                )
+                code = jnp.min(code_masked, axis=1, keepdims=True)
+                take = tile_best < best_t
+                best_t = jnp.where(take, tile_best, best_t)
+                best_code = jnp.where(take, code, best_code)
+            return best_t, best_code, any_hit
+
+        zero = dx * 0.0
+        init = (zero + INF, zero.astype(jnp.int32) - 1, zero > 0.0)
+        best_t, best_code, any_hit = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+        code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
+        any_ref[:, :] = any_hit.astype(jnp.int32)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((2, TRI_ROWS, tri_tile), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    )
+    del tiles_on_ref  # tiles stream regardless; skipping saves no DMA here
+
+
 def sweep_rays(
     rays: jnp.ndarray,  # (N, 9) f32: [o | d | o x d]
     tri_pack: jnp.ndarray,  # (24, Tpad) f32
@@ -157,8 +252,16 @@ def sweep_rays(
     want_matrix: bool,
     want_any: bool,
     interpret: bool = False,
+    stream_from_hbm: bool | None = None,
 ):
-    """Sweep all rays against all triangles; returns (codes (N,), any (N,))."""
+    """Sweep all rays against all triangles; returns (codes (N,), any (N,)).
+
+    For scenes whose operand pack exceeds the VMEM budget the kernel
+    switches to the HBM-streaming variant (double-buffered tile DMA);
+    ``stream_from_hbm`` forces either mode.
+    """
+    from ..config import PALLAS_MAX_TRIS
+
     n = rays.shape[0]
     n_tri_pad = tri_pack.shape[1]
     tile = min(tri_tile, n_tri_pad)
@@ -167,13 +270,29 @@ def sweep_rays(
     grid = (n // ray_block,)
     n_tiles = n_tri_pad // tile
     tiles_on = jnp.any(sweep_mask.reshape(n_tiles, tile), axis=1).astype(jnp.int32)
+    if stream_from_hbm is None:
+        stream_from_hbm = n_tri_pad > PALLAS_MAX_TRIS
 
-    kernel = functools.partial(
-        _sweep_kernel,
-        tri_tile=tile,
-        want_matrix=want_matrix,
-        want_any=want_any,
-    )
+    if stream_from_hbm:
+        kernel = functools.partial(
+            _sweep_kernel_streamed,
+            tri_tile=tile,
+            n_tiles=n_tiles,
+            want_matrix=want_matrix,
+            want_any=want_any,
+        )
+        tris_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        kernel = functools.partial(
+            _sweep_kernel,
+            tri_tile=tile,
+            want_matrix=want_matrix,
+            want_any=want_any,
+        )
+        tris_spec = pl.BlockSpec(
+            (TRI_ROWS, n_tri_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+
     codes, any_hit = pl.pallas_call(
         kernel,
         grid=grid,
@@ -181,9 +300,7 @@ def sweep_rays(
             pl.BlockSpec(
                 (ray_block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (TRI_ROWS, n_tri_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
+            tris_spec,
             pl.BlockSpec((1, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[

@@ -693,21 +693,18 @@ def _placements(mesh, device):
 def _resolve_kernel(device, mesh, n_tri: int = 0) -> Tuple[str, bool]:
     """(sweep kernel name, interpret flag) for this device/mesh combo.
 
-    The Pallas sweep keeps the whole triangle-operand pack VMEM-resident, so
-    "auto" falls back to the XLA tiled sweep beyond PALLAS_MAX_TRIS.
+    The Pallas sweep holds the triangle-operand pack VMEM-resident up to
+    PALLAS_MAX_TRIS and streams it from HBM (double-buffered tile DMA)
+    beyond that, so "auto" prefers it for every sweep-dominated scene.
     """
-    from .config import KERNEL, PALLAS_MAX_TRIS, PALLAS_MIN_TRIS
+    from .config import KERNEL, PALLAS_MIN_TRIS
 
     if KERNEL in ("xla", "pallas"):
         kernel = KERNEL
     else:
         kernel = (
             "pallas"
-            if (
-                mesh is None
-                and device.platform != "cpu"
-                and PALLAS_MIN_TRIS <= n_tri <= PALLAS_MAX_TRIS
-            )
+            if (mesh is None and device.platform != "cpu" and n_tri >= PALLAS_MIN_TRIS)
             else "xla"
         )
     interpret = kernel == "pallas" and device.platform == "cpu"

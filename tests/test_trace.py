@@ -331,3 +331,34 @@ def test_pallas_kernel_matches_xla():
     assert set(a) == set(b) == {"counts_f", "counts_b", "sky_bins"}
     for key in a:
         np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_pallas_streamed_matches_resident():
+    """The HBM-streaming Pallas variant equals the VMEM-resident one."""
+    import jax.numpy as jnp
+    from raystrack_tpu.ops.trace import compute_masks
+    from raystrack_tpu.ops.trace_pallas import build_tri_pack, sweep_rays
+
+    rng = np.random.default_rng(2)
+    n_tri = 384
+    V = rng.uniform(-3, 3, (n_tri * 3, 3)).astype(np.float32)
+    F = np.arange(n_tri * 3, dtype=np.int32).reshape(-1, 3)
+    ps = PreparedSolver([("cloud", V, F)])
+    pk = ps.get_scene_pack()
+    scene_t = (pk.v0, pk.e1, pk.e2, pk.cross_e, pk.w_u, pk.w_v, pk.d0, pk.sid)
+    ext = jnp.asarray(np.array([1, 0], np.int32))
+    m_any, m_mat = compute_masks(scene_t, ext, jnp.int32(99), jnp.int32(0))
+    tp = build_tri_pack(scene_t, m_any, m_mat)
+
+    o = rng.uniform(-5, -4, (1024, 3)).astype(np.float32)
+    d = rng.normal(size=(1024, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays9 = jnp.asarray(np.concatenate([o, d, np.cross(o, d)], axis=1).astype(np.float32))
+
+    kw = dict(ray_block=512, tri_tile=128, want_matrix=True, want_any=True,
+              interpret=True)
+    c1, a1 = sweep_rays(rays9, tp, m_any, stream_from_hbm=False, **kw)
+    c2, a2 = sweep_rays(rays9, tp, m_any, stream_from_hbm=True, **kw)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert int((np.asarray(c1) >= 0).sum()) > 0  # scene actually hit

@@ -8,6 +8,8 @@ import validate_03_equal_coaxial_discs
 import validate_04_patch_to_disc
 import validate_05_perpendicular_square_rectangle
 import validate_06_canyon_analytic_compare
+import validate_07_canyon_sky
+import validate_08_cube_interior
 
 CASES = [
     validate_01_parallel_equal_square,
@@ -16,6 +18,8 @@ CASES = [
     validate_04_patch_to_disc,
     validate_05_perpendicular_square_rectangle,
     validate_06_canyon_analytic_compare,
+    validate_07_canyon_sky,
+    validate_08_cube_interior,
 ]
 
 
