@@ -338,6 +338,59 @@ def _drive_monitors(
     return trace_iters
 
 
+class _CheckpointStore:
+    """Per-emitter JSON checkpoints for resumable matrix solves.
+
+    One file per emitter under ``dir/``, written atomically (tmp + rename).
+    A config fingerprint (solver params + mesh names/face counts) guards
+    against resuming with a different setup.
+    """
+
+    def __init__(self, directory: str, params_dict: Dict, meshes: List[Mesh]):
+        import hashlib
+        import json
+        from pathlib import Path
+
+        self._json = json
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        fingerprint_src = json.dumps(
+            {
+                "params": {k: params_dict[k] for k in sorted(params_dict)},
+                "meshes": [(n, int(F.shape[0])) for n, _, F in meshes],
+            },
+            sort_keys=True,
+        )
+        self.fingerprint = hashlib.sha256(fingerprint_src.encode()).hexdigest()[:16]
+
+    def _path(self, idx: int):
+        return self.dir / f"emitter_{idx:05d}.json"
+
+    def load(self, idx: int):
+        path = self._path(idx)
+        if not path.exists():
+            return None
+        try:
+            data = self._json.loads(path.read_text(encoding="utf-8"))
+        except Exception:
+            return None
+        if data.get("fingerprint") != self.fingerprint:
+            return None
+        return data
+
+    def save(self, idx: int, name: str, row, backfill, stats) -> None:
+        payload = {
+            "fingerprint": self.fingerprint,
+            "emitter": name,
+            "row": row,
+            "backfill": backfill,
+            "stats": stats,
+        }
+        tmp = self._path(idx).with_suffix(".tmp")
+        tmp.write_text(self._json.dumps(payload, sort_keys=True), encoding="utf-8")
+        tmp.replace(self._path(idx))
+
+
 # ---------------------------------------------------------------------------
 # Public solvers
 # ---------------------------------------------------------------------------
@@ -350,6 +403,7 @@ def view_factor_matrix(
     prepared: Optional[PreparedSolver] = None,
     mesh=None,
     return_stats: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ):
     """Scene-to-scene view-factor matrix F(i->j) with front/back splits.
 
@@ -357,6 +411,13 @@ def view_factor_matrix(
     stderr}}`` — the per-receiver standard error of the converged estimate.
     Set ``RAYSTRACK_TPU_PROFILE=<dir>`` to capture a jax.profiler trace of
     the solve.
+
+    ``checkpoint_dir`` makes long solves resumable: each emitter's finished
+    output (its row plus any reciprocity back-fill contributions) is written
+    atomically as JSON after it converges, and a restarted solve replays
+    completed emitters from disk instead of re-tracing them. Checkpoints are
+    keyed by the solve configuration, so a changed seed or sampling setup
+    invalidates them.
     """
     if not isinstance(params, MatrixParams):
         raise TypeError("params must be a MatrixParams instance")
@@ -371,6 +432,7 @@ def view_factor_matrix(
     result: VFDict = {name: {} for name, _, _ in meshes}
     stats_result: VFDict = {}
     profiler = _maybe_profiler()
+    store = _CheckpointStore(checkpoint_dir, p, meshes) if checkpoint_dir else None
     emitters = prepared_solver.get_emitters(
         samples=p["samples"], rays=p["rays"], flip_faces=flip_faces
     )
@@ -384,6 +446,18 @@ def view_factor_matrix(
     n_surf = len(meshes)
     for idx_emit, (name_e, _, _) in enumerate(meshes):
         t0 = time.time()
+        if store is not None:
+            saved = store.load(idx_emit)
+            if saved is not None:
+                result[name_e].update(saved["row"])
+                for other, entries in saved.get("backfill", {}).items():
+                    result[other].update(entries)
+                stats_result[name_e] = saved.get("stats", {})
+                _emit_log(
+                    f"({idx_emit + 1}/{n_surf}) [{name_e}] restored from "
+                    f"checkpoint ({len(saved['row'])} receivers)"
+                )
+                continue
         emitter = emitters[idx_emit]
         surf_active = _build_emitter_surface_mask(
             idx_emit, emitter, bounds_center, bounds_extent
@@ -394,6 +468,8 @@ def view_factor_matrix(
         if not receivers:
             _emit_log(_progress_line(idx_emit, n_surf, name_e, 0, 0, 0.0, use_bvh, device))
             stats_result[name_e] = {}
+            if store is not None:
+                store.save(idx_emit, name_e, {}, {}, {})
             continue
 
         emit_sid, min_sid = _matrix_skip(idx_emit, reciprocity)
@@ -419,6 +495,7 @@ def view_factor_matrix(
         se_b = monitor.wb.stderr()
         row: Dict[str, float] = {}
         stats_row: Dict[str, float] = {}
+        backfill: Dict[str, Dict[str, float]] = {}
         total = float(monitor.total_rays)
         for j in receivers:
             name_r = meshes[j][0]
@@ -428,12 +505,16 @@ def view_factor_matrix(
                 row[f"{name_r}_front"] = f
                 stats_row[f"{name_r}_front"] = float(se_f[j])
                 if reciprocity and areas is not None and areas[j] > 0.0:
-                    result[name_r][f"{name_e}_front"] = f * (areas[idx_emit] / areas[j])
+                    back = f * (areas[idx_emit] / areas[j])
+                    result[name_r][f"{name_e}_front"] = back
+                    backfill.setdefault(name_r, {})[f"{name_e}_front"] = back
             if b > 0.0:
                 row[f"{name_r}_back"] = b
                 stats_row[f"{name_r}_back"] = float(se_b[j])
         result[name_e].update(row)
         stats_result[name_e] = stats_row
+        if store is not None:
+            store.save(idx_emit, name_e, row, backfill, stats_row)
 
         _emit_log(
             _progress_line(

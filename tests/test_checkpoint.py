@@ -1,0 +1,79 @@
+"""Resumable matrix solves via per-emitter checkpoints."""
+import re
+
+import numpy as np
+
+import raystrack_tpu.solver as solver_mod
+from raystrack_tpu import MatrixParams, view_factor_matrix
+
+
+def _square(name, size, z, normal=1, center=(0.0, 0.0)):
+    cx, cy = center
+    h = size / 2.0
+    V = np.array(
+        [
+            [cx - h, cy - h, z],
+            [cx + h, cy - h, z],
+            [cx + h, cy + h, z],
+            [cx - h, cy + h, z],
+        ],
+        dtype=np.float32,
+    )
+    F = (
+        np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+        if normal >= 0
+        else np.array([[0, 2, 1], [0, 3, 2]], dtype=np.int32)
+    )
+    return name, V, F
+
+
+MESHES = [
+    _square("ground", 2.0, 0.0, normal=+1),
+    _square("mid", 1.5, 0.6, normal=-1, center=(0.4, 0.1)),
+    _square("top", 3.0, 1.2, normal=-1),
+]
+
+PARAMS = MatrixParams(
+    samples=8, rays=64, seed=4, device="cpu", bvh="off",
+    max_iters=6, min_iters=3, tol=1e-3, reciprocity=True,
+)
+
+
+def test_checkpoint_resume_identical(tmp_path, monkeypatch):
+    ckpt = str(tmp_path / "ckpt")
+    plain = view_factor_matrix(MESHES, params=PARAMS)
+    first = view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=ckpt)
+    assert first == plain
+
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    second = view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=ckpt)
+    assert second == plain
+    # every emitter restored, nothing re-traced
+    assert all("restored from checkpoint" in l or "0 iter" in l for l in lines)
+
+
+def test_checkpoint_partial_resume(tmp_path, monkeypatch):
+    ckpt = tmp_path / "ckpt"
+    full = view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=str(ckpt))
+    # simulate a crash that lost the middle emitter's checkpoint
+    (ckpt / "emitter_00001.json").unlink()
+
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    resumed = view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=str(ckpt))
+    assert resumed == full
+    restored = [l for l in lines if "restored" in l]
+    solved = [l for l in lines if re.search(r"\d+ iter,", l)]
+    assert len(restored) == 2 and len(solved) == 1
+    assert "[mid]" in solved[0]
+
+
+def test_checkpoint_invalidated_by_config_change(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=ckpt)
+    other = MatrixParams(**{**PARAMS.as_dict(), "seed": 99})
+    fresh = view_factor_matrix(MESHES, params=other, checkpoint_dir=ckpt)
+    plain = view_factor_matrix(MESHES, params=other)
+    # stale checkpoints (different fingerprint) are ignored, results correct
+    assert fresh == plain
