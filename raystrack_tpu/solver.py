@@ -215,6 +215,15 @@ class _EmitterRun:
 
     def run_chunk(self, chunk: int, *, want_matrix: bool, want_any: bool, discrete: bool):
         """Trace ``chunk`` iterations; returns dict of stacked numpy counts."""
+        out = self.dispatch_chunk(
+            chunk, want_matrix=want_matrix, want_any=want_any, discrete=discrete
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def dispatch_chunk(self, chunk: int, *, want_matrix: bool, want_any: bool, discrete: bool):
+        """Enqueue ``chunk`` iterations; returns device arrays WITHOUT
+        synchronizing, so callers can pipeline several emitters' dispatches
+        and harvest them later (XLA dispatch is asynchronous)."""
         cp = _cp_rows(self.seed, self.idx_emit, self.itr_next, chunk)
         self.itr_next += chunk
 
@@ -267,7 +276,62 @@ class _EmitterRun:
                 self.n_rays_once, em.plane_vec, kernel=self.kernel,
                 interpret=self.interpret, **kwargs,
             )
-        return {k: np.asarray(v) for k, v in out.items()}
+        return out
+
+
+def _drive_matrix_pipelined(entries, *, depth: int = 3) -> None:
+    """Round-robin matrix solves over many emitters with pipelined dispatch.
+
+    The TPU analogue of the reference's multi-stream emitter batching
+    (reference: main.py:901-1022): up to ``depth`` emitters have a chunk in
+    flight at once, so the host-side float64 replay and RNG generation of
+    one emitter overlap device compute of the others. Results are identical
+    to the sequential driver — the per-iteration replay is unchanged.
+
+    ``entries`` is a list of dicts with keys ``run`` (_EmitterRun) and
+    ``monitor`` (MatrixMonitor); monitors are driven to completion in place.
+    """
+    from collections import deque
+
+    t_start = time.time()
+    queue = deque(e for e in entries if not e["monitor"].done)
+    inflight: deque = deque()
+
+    while queue or inflight:
+        while queue and len(inflight) < depth:
+            entry = queue.popleft()
+            mon = entry["monitor"]
+            chunk = plan_chunk(
+                mon.iters_done,
+                min_iters=mon.min_iters,
+                interval=mon.interval,
+                max_iters=mon.max_iters,
+                rays_per_iter=entry["run"].em_pack.n_rays_pad,
+                projected_total=mon.projected_total(),
+            )
+            if chunk <= 0:
+                mon.done = True
+                continue
+            out = entry["run"].dispatch_chunk(
+                chunk, want_matrix=True, want_any=False, discrete=False
+            )
+            inflight.append((entry, out))
+        if not inflight:
+            break
+        entry, out = inflight.popleft()
+        counts_f = np.asarray(out["counts_f"])
+        counts_b = np.asarray(out["counts_b"])
+        mon = entry["monitor"]
+        for k in range(counts_f.shape[0]):
+            if mon.done:
+                break
+            mon.consume_iteration(counts_f[k], counts_b[k])
+        # rewind past discarded speculative iterations
+        entry["run"].itr_next = mon.iters_done
+        if mon.done:
+            entry["elapsed"] = time.time() - t_start
+        else:
+            queue.append(entry)
 
 
 def _drive_monitors(
@@ -444,14 +508,15 @@ def view_factor_matrix(
     align = _ray_align(mesh)
 
     n_surf = len(meshes)
+    # Phase 1: restore checkpoints / skip empty emitters, build the work list
+    entries: List[Dict] = []
     for idx_emit, (name_e, _, _) in enumerate(meshes):
-        t0 = time.time()
         if store is not None:
             saved = store.load(idx_emit)
             if saved is not None:
                 result[name_e].update(saved["row"])
-                for other, entries in saved.get("backfill", {}).items():
-                    result[other].update(entries)
+                for other, back_entries in saved.get("backfill", {}).items():
+                    result[other].update(back_entries)
                 stats_result[name_e] = saved.get("stats", {})
                 _emit_log(
                     f"({idx_emit + 1}/{n_surf}) [{name_e}] restored from "
@@ -488,9 +553,21 @@ def view_factor_matrix(
             min_iters=p["min_iters"], interval=p["convergence_interval"],
             max_iters=p["max_iters"],
         )
-        with profiler(f"emitter_{idx_emit}"):
-            _drive_monitors(run, monitor, None, discrete=False)
+        entries.append(
+            dict(run=run, monitor=monitor, idx=idx_emit, name=name_e,
+                 receivers=receivers)
+        )
 
+    # Phase 2: pipelined round-robin over all pending emitters
+    t_solve = time.time()
+    with profiler("matrix_solve"):
+        _drive_matrix_pipelined(entries)
+    solve_s = time.time() - t_solve
+
+    # Phase 3: assemble rows in emitter order
+    for entry in entries:
+        idx_emit, name_e = entry["idx"], entry["name"]
+        monitor, receivers = entry["monitor"], entry["receivers"]
         se_f = monitor.wf.stderr()
         se_b = monitor.wb.stderr()
         row: Dict[str, float] = {}
@@ -519,7 +596,7 @@ def view_factor_matrix(
         _emit_log(
             _progress_line(
                 idx_emit, n_surf, name_e, monitor.iters_done,
-                monitor.total_rays, time.time() - t0, use_bvh, device,
+                monitor.total_rays, entry.get("elapsed", solve_s), use_bvh, device,
             )
         )
 
