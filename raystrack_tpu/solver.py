@@ -279,6 +279,127 @@ class _EmitterRun:
         return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _batched_matrix_step(ray_block: int, tri_tile: int):
+    """Cached jitted vmap of the chunk body over an emitter batch axis."""
+    import jax
+
+    from .ops.trace import chunk_body
+
+    def one(scene_t, tb, gb, cpb, sb, eb, mb, ob, pb):
+        return chunk_body(
+            scene_t, tb, gb, cpb, sb, eb, mb, ob,
+            ray_block=ray_block,
+            tri_tile=tri_tile,
+            want_matrix=True,
+            want_any=False,
+            discrete=False,
+            plane_vec=pb,
+        )
+
+    def raw(scene_t, tables, geom, cp, surf, emit, minb, once, plane):
+        return jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
+            scene_t, tables, geom, cp, surf, emit, minb, once, plane
+        )
+
+    return jax.jit(raw)
+
+
+def _group_key(entry) -> Tuple[int, int]:
+    em = entry["run"].em_pack
+    return (em.n_rays_pad, int(np.asarray(em.cdf).shape[0]))
+
+
+def _drive_matrix_grouped(entries) -> None:
+    """Batch same-shape emitters into single vmapped dispatches.
+
+    Emitters sharing (padded ray count, face count) are solved together: one
+    jit call traces a chunk for the whole group (per-emitter CP rows, masks
+    and scalars ride a leading batch axis), which collapses the per-dispatch
+    host/RPC overhead that dominates small scenes. Chunks use the group MAX
+    of the per-emitter plans; surplus iterations are discarded by the replay
+    exactly as in the single-emitter path, so results are unchanged. Once
+    any member converges the group drops to the per-emitter pipelined
+    driver for stragglers.
+
+    Only used with the XLA sweep kernel (small scenes); large Pallas-swept
+    scenes amortize dispatch overhead already.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    groups: Dict[Tuple[int, int], List] = {}
+    for entry in entries:
+        groups.setdefault(_group_key(entry), []).append(entry)
+
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        run0 = members[0]["run"]
+        scene = run0.scene_pack
+        scene_t = (
+            scene.v0, scene.e1, scene.e2, scene.cross_e,
+            scene.w_u, scene.w_v, scene.d0, scene.sid,
+        )
+        stack = lambda get: jax.tree.map(
+            lambda *xs: jnp.stack(xs), *(get(m["run"]) for m in members)
+        )
+        tables_b = stack(lambda r: (
+            r.em_pack.u_cell, r.em_pack.v_cell, r.em_pack.h_tri,
+            r.em_pack.h_u, r.em_pack.h_v, r.em_pack.h_r1, r.em_pack.h_r2,
+        ))
+        geom_b = stack(lambda r: (
+            r.em_pack.cdf, r.em_pack.tri_a, r.em_pack.tri_e1, r.em_pack.tri_e2,
+            r.em_pack.tri_u, r.em_pack.tri_v, r.em_pack.tri_n, r.em_pack.tri_eps,
+        ))
+        surf_b = stack(lambda r: r.surf_active_ext)
+        emit_b = stack(lambda r: r.emit_sid)
+        min_b = stack(lambda r: r.min_sid)
+        once_b = stack(lambda r: r.n_rays_once)
+        plane_b = stack(lambda r: r.em_pack.plane_vec)
+
+        batched = _batched_matrix_step(RAY_BLOCK, scene.tri_tile)
+
+        while True:
+            monitors = [m["monitor"] for m in members]
+            if any(mon.done for mon in monitors):
+                break
+            chunk = max(
+                plan_chunk(
+                    mon.iters_done,
+                    min_iters=mon.min_iters,
+                    interval=mon.interval,
+                    max_iters=mon.max_iters,
+                    rays_per_iter=members[0]["run"].em_pack.n_rays_pad,
+                    projected_total=mon.projected_total(),
+                )
+                for mon in monitors
+            )
+            if chunk <= 0:
+                break
+            cp = np.stack(
+                [
+                    _cp_rows(m["run"].seed, m["run"].idx_emit,
+                             m["run"].itr_next, chunk)
+                    for m in members
+                ]
+            )
+            out = batched(scene_t, tables_b, geom_b, jnp.asarray(cp), surf_b,
+                          emit_b, min_b, once_b, plane_b)
+            counts_f = np.asarray(out["counts_f"])
+            counts_b = np.asarray(out["counts_b"])
+            for e_idx, member in enumerate(members):
+                mon = member["monitor"]
+                for k in range(chunk):
+                    if mon.done:
+                        break
+                    mon.consume_iteration(counts_f[e_idx, k], counts_b[e_idx, k])
+                member["run"].itr_next = mon.iters_done
+
+
 def _drive_matrix_pipelined(entries, *, depth: int = 3) -> None:
     """Round-robin matrix solves over many emitters with pipelined dispatch.
 
@@ -558,9 +679,12 @@ def view_factor_matrix(
                  receivers=receivers)
         )
 
-    # Phase 2: pipelined round-robin over all pending emitters
+    # Phase 2: batch same-shape emitter groups into single dispatches, then
+    # finish stragglers with the pipelined per-emitter driver
     t_solve = time.time()
     with profiler("matrix_solve"):
+        if kernel == "xla" and mesh is None and len(entries) > 1:
+            _drive_matrix_grouped(entries)
         _drive_matrix_pipelined(entries)
     solve_s = time.time() - t_solve
 
