@@ -282,8 +282,11 @@ class _EmitterRun:
 import functools
 
 
-@functools.lru_cache(maxsize=32)
-def _batched_matrix_step(ray_block: int, tri_tile: int):
+@functools.lru_cache(maxsize=64)
+def _batched_step(
+    ray_block: int, tri_tile: int, want_matrix: bool, want_any: bool,
+    discrete: bool,
+):
     """Cached jitted vmap of the chunk body over an emitter batch axis."""
     import jax
 
@@ -294,9 +297,9 @@ def _batched_matrix_step(ray_block: int, tri_tile: int):
             scene_t, tb, gb, cpb, sb, eb, mb, ob,
             ray_block=ray_block,
             tri_tile=tri_tile,
-            want_matrix=True,
-            want_any=False,
-            discrete=False,
+            want_matrix=want_matrix,
+            want_any=want_any,
+            discrete=discrete,
             plane_vec=pb,
         )
 
@@ -313,7 +316,8 @@ def _group_key(entry) -> Tuple[int, int]:
     return (em.n_rays_pad, int(np.asarray(em.cdf).shape[0]))
 
 
-def _drive_matrix_grouped(entries) -> None:
+def _drive_grouped(entries, *, want_matrix: bool, want_any: bool,
+                   discrete: bool, consume) -> None:
     """Batch same-shape emitters into single vmapped dispatches.
 
     Emitters sharing (padded ray count, face count) are solved together: one
@@ -361,7 +365,9 @@ def _drive_matrix_grouped(entries) -> None:
         once_b = stack(lambda r: r.n_rays_once)
         plane_b = stack(lambda r: r.em_pack.plane_vec)
 
-        batched = _batched_matrix_step(RAY_BLOCK, scene.tri_tile)
+        batched = _batched_step(
+            RAY_BLOCK, scene.tri_tile, want_matrix, want_any, discrete
+        )
 
         while True:
             monitors = [m["monitor"] for m in members]
@@ -389,19 +395,42 @@ def _drive_matrix_grouped(entries) -> None:
             )
             out = batched(scene_t, tables_b, geom_b, jnp.asarray(cp), surf_b,
                           emit_b, min_b, once_b, plane_b)
-            counts_f = np.asarray(out["counts_f"])
-            counts_b = np.asarray(out["counts_b"])
+            host = {k: np.asarray(v) for k, v in out.items()}
             for e_idx, member in enumerate(members):
                 mon = member["monitor"]
                 for k in range(chunk):
                     if mon.done:
                         break
-                    mon.consume_iteration(counts_f[e_idx, k], counts_b[e_idx, k])
+                    consume(mon, host, e_idx, k)
                 member["run"].itr_next = mon.iters_done
 
 
-def _drive_matrix_pipelined(entries, *, depth: int = 3) -> None:
-    """Round-robin matrix solves over many emitters with pipelined dispatch.
+def _consume_matrix(mon, host, e_idx, k):
+    mon.consume_iteration(host["counts_f"][e_idx, k], host["counts_b"][e_idx, k])
+
+
+def _drive_matrix_grouped(entries) -> None:
+    _drive_grouped(
+        entries, want_matrix=True, want_any=False, discrete=False,
+        consume=_consume_matrix,
+    )
+
+
+def _drive_sky_grouped(entries, *, discrete: bool) -> None:
+    def consume(mon, host, e_idx, k):
+        mon.consume_iteration(
+            host["sky_bins"][e_idx, k] if discrete else int(host["upward"][e_idx, k])
+        )
+
+    _drive_grouped(
+        entries, want_matrix=False, want_any=True, discrete=discrete,
+        consume=consume,
+    )
+
+
+def _drive_pipelined(entries, *, want_matrix: bool, want_any: bool,
+                     discrete: bool, consume, depth: int = 3) -> None:
+    """Round-robin single-output solves with pipelined dispatch.
 
     The TPU analogue of the reference's multi-stream emitter batching
     (reference: main.py:901-1022): up to ``depth`` emitters have a chunk in
@@ -410,7 +439,7 @@ def _drive_matrix_pipelined(entries, *, depth: int = 3) -> None:
     to the sequential driver — the per-iteration replay is unchanged.
 
     ``entries`` is a list of dicts with keys ``run`` (_EmitterRun) and
-    ``monitor`` (MatrixMonitor); monitors are driven to completion in place.
+    ``monitor``; monitors are driven to completion in place.
     """
     from collections import deque
 
@@ -434,25 +463,45 @@ def _drive_matrix_pipelined(entries, *, depth: int = 3) -> None:
                 mon.done = True
                 continue
             out = entry["run"].dispatch_chunk(
-                chunk, want_matrix=True, want_any=False, discrete=False
+                chunk, want_matrix=want_matrix, want_any=want_any,
+                discrete=discrete,
             )
-            inflight.append((entry, out))
+            inflight.append((entry, out, chunk))
         if not inflight:
             break
-        entry, out = inflight.popleft()
-        counts_f = np.asarray(out["counts_f"])
-        counts_b = np.asarray(out["counts_b"])
+        entry, out, chunk = inflight.popleft()
+        host = {k: np.asarray(v) for k, v in out.items()}
         mon = entry["monitor"]
-        for k in range(counts_f.shape[0]):
+        for k in range(chunk):
             if mon.done:
                 break
-            mon.consume_iteration(counts_f[k], counts_b[k])
+            consume(mon, host, k)
         # rewind past discarded speculative iterations
         entry["run"].itr_next = mon.iters_done
         if mon.done:
             entry["elapsed"] = time.time() - t_start
         else:
             queue.append(entry)
+
+
+def _drive_matrix_pipelined(entries, *, depth: int = 3) -> None:
+    _drive_pipelined(
+        entries, want_matrix=True, want_any=False, discrete=False,
+        consume=lambda mon, host, k: mon.consume_iteration(
+            host["counts_f"][k], host["counts_b"][k]
+        ),
+        depth=depth,
+    )
+
+
+def _drive_sky_pipelined(entries, *, discrete: bool, depth: int = 3) -> None:
+    _drive_pipelined(
+        entries, want_matrix=False, want_any=True, discrete=discrete,
+        consume=lambda mon, host, k: mon.consume_iteration(
+            host["sky_bins"][k] if discrete else int(host["upward"][k])
+        ),
+        depth=depth,
+    )
 
 
 def _drive_monitors(
@@ -778,31 +827,39 @@ def view_factor_to_tregenza_sky(
     result: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
 
     n_surf = len(meshes)
-    for idx_emit, (name_e, _, _) in enumerate(meshes):
-        if n_surf <= 1:
-            continue
-        t0 = time.time()
-        emitter = emitters[idx_emit]
-        surf_active = _build_emitter_surface_mask(
-            idx_emit, emitter, bounds_center, bounds_extent
-        )
-        em_pack = prepared_solver.get_emitter_pack(
-            idx_emit, samples=p["samples"], rays=p["rays"],
-            flip_faces=False, align=align, device=pack_dev, ray_device=ray_dev,
-        )
-        run = _EmitterRun(
-            scene_pack, em_pack, surf_active, idx_emit, 0,
-            p["seed"], idx_emit, pack_dev, mesh=mesh, kernel=kernel, interpret=interpret,
-        )
-        monitor = SkyMonitor(
-            discrete=discrete,
-            n_rays_once=em_pack.n_rays_once,
-            tol=p["tol"], tol_mode=p["tol_mode"],
-            min_iters=p["min_iters"], interval=p["convergence_interval"],
-            max_iters=p["max_iters"],
-        )
-        _drive_monitors(run, None, monitor, discrete=discrete)
+    entries: List[Dict] = []
+    if n_surf > 1:
+        for idx_emit, (name_e, _, _) in enumerate(meshes):
+            emitter = emitters[idx_emit]
+            surf_active = _build_emitter_surface_mask(
+                idx_emit, emitter, bounds_center, bounds_extent
+            )
+            em_pack = prepared_solver.get_emitter_pack(
+                idx_emit, samples=p["samples"], rays=p["rays"],
+                flip_faces=False, align=align, device=pack_dev, ray_device=ray_dev,
+            )
+            run = _EmitterRun(
+                scene_pack, em_pack, surf_active, idx_emit, 0,
+                p["seed"], idx_emit, pack_dev, mesh=mesh, kernel=kernel,
+                interpret=interpret,
+            )
+            monitor = SkyMonitor(
+                discrete=discrete,
+                n_rays_once=em_pack.n_rays_once,
+                tol=p["tol"], tol_mode=p["tol_mode"],
+                min_iters=p["min_iters"], interval=p["convergence_interval"],
+                max_iters=p["max_iters"],
+            )
+            entries.append(dict(run=run, monitor=monitor, idx=idx_emit, name=name_e))
 
+    t_solve = time.time()
+    if kernel == "xla" and mesh is None and len(entries) > 1:
+        _drive_sky_grouped(entries, discrete=discrete)
+    _drive_sky_pipelined(entries, discrete=discrete)
+    solve_s = time.time() - t_solve
+
+    for entry in entries:
+        idx_emit, name_e, monitor = entry["idx"], entry["name"], entry["monitor"]
         total = float(max(1, monitor.total_rays))
         if discrete:
             frac = monitor.counts_total.astype(np.float64) / total
@@ -815,7 +872,7 @@ def view_factor_to_tregenza_sky(
         _emit_log(
             _progress_line(
                 idx_emit, n_surf, name_e, monitor.iters_done,
-                monitor.total_rays, time.time() - t0, use_bvh, device,
+                monitor.total_rays, entry.get("elapsed", solve_s), use_bvh, device,
             )
         )
 
