@@ -41,7 +41,7 @@ REPS = 5
 
 
 def _bench_scene():
-    """Emitter plate + a 2046-triangle cloud above it (2048 tris total)."""
+    """Emitter plate + an (N_TRI - 2)-triangle cloud above it."""
     h = 8.0
     V = np.array([[-h, -h, 0], [h, -h, 0], [h, h, 0], [-h, h, 0]], np.float32)
     F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)

@@ -69,69 +69,87 @@ def build_tri_pack(scene: Tuple, m_any, m_mat) -> jnp.ndarray:
     return jnp.pad(pack, ((0, pad), (0, 0)))
 
 
+def _ray_columns(rays_ref):
+    """(B, 1) component columns [o | d | o x d] from a ray block."""
+    col = lambda j: rays_ref[:, j : j + 1]
+    return tuple(col(j) for j in range(9))
+
+
+def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool):
+    """One triangle-tile of the Möller-Trumbore sweep.
+
+    ``rays`` are the 9 (B, 1) ray columns, ``row(r)`` yields the (1, T)
+    operand row r of the current tile (VMEM-resident slice or DMA buffer),
+    and ``carry`` is the running (best_t, best_code, any_hit). Shared by the
+    resident and HBM-streaming kernels so the intersection math exists once.
+    """
+    ox, oy, oz, dx, dy, dz, cx, cy, cz = rays
+    best_t, best_code, any_hit = carry
+
+    # det = -(d . cross_e); t_num = o . cross_e - d0
+    ce_x, ce_y, ce_z = row(ROW_CE), row(ROW_CE + 1), row(ROW_CE + 2)
+    det = -(dx * ce_x + dy * ce_y + dz * ce_z)
+    t_num = ox * ce_x + oy * ce_y + oz * ce_z - row(ROW_D0)
+
+    # u_num = (o x d) . e2 + d . (v0 x e2)
+    u_num = (
+        cx * row(ROW_E2) + cy * row(ROW_E2 + 1) + cz * row(ROW_E2 + 2)
+        + dx * row(ROW_WU) + dy * row(ROW_WU + 1) + dz * row(ROW_WU + 2)
+    )
+    # v_num = -((o x d) . e1) - d . (v0 x e1)
+    v_num = -(
+        cx * row(ROW_E1) + cy * row(ROW_E1 + 1) + cz * row(ROW_E1 + 2)
+        + dx * row(ROW_WV) + dy * row(ROW_WV + 1) + dz * row(ROW_WV + 2)
+    )
+
+    sign = jnp.where(det >= 0.0, 1.0, -1.0)
+    abs_det = det * sign
+    un = u_num * sign
+    vn = v_num * sign
+    t_hit = t_num / det
+    valid = (
+        (abs_det >= 1e-7)
+        & (un >= 0.0)
+        & (un <= abs_det)
+        & (vn >= 0.0)
+        & (un + vn <= abs_det)
+        & (t_hit > 1e-6)
+    )
+
+    if want_any:
+        blocked = valid & (row(ROW_MASK_ANY) > 0.0)
+        any_hit = any_hit | jnp.any(blocked, axis=1, keepdims=True)
+
+    if want_matrix:
+        t_masked = jnp.where(valid & (row(ROW_MASK_MAT) > 0.0), t_hit, INF)
+        tile_best = jnp.min(t_masked, axis=1, keepdims=True)
+        codes = row(ROW_CODE).astype(jnp.int32) + (det > 0.0).astype(jnp.int32)
+        code_masked = jnp.where(t_masked == tile_best, codes, jnp.int32(2**30))
+        code = jnp.min(code_masked, axis=1, keepdims=True)
+        take = tile_best < best_t
+        best_t = jnp.where(take, tile_best, best_t)
+        best_code = jnp.where(take, code, best_code)
+
+    return best_t, best_code, any_hit
+
+
+def _sweep_init(dx):
+    zero = dx * 0.0  # (B, 1), inherits any shard_map variance
+    return (zero + INF, zero.astype(jnp.int32) - 1, zero > 0.0)
+
+
 def _sweep_kernel(
     rays_ref, tris_ref, tiles_on_ref, code_ref, any_ref, *, tri_tile: int,
     want_matrix: bool, want_any: bool
 ):
-    n_block = rays_ref.shape[0]
-    n_tri_pad = tris_ref.shape[1]
-    n_tiles = n_tri_pad // tri_tile
-
-    col = lambda j: rays_ref[:, j : j + 1]  # (B, 1)
-    ox, oy, oz = col(0), col(1), col(2)
-    dx, dy, dz = col(3), col(4), col(5)
-    cx, cy, cz = col(6), col(7), col(8)
+    n_tiles = tris_ref.shape[1] // tri_tile
+    rays = _ray_columns(rays_ref)
 
     def tile_body(i, carry):
-        best_t, best_code, any_hit = carry
         off = i * tri_tile
         row = lambda r: tris_ref[r : r + 1, pl.ds(off, tri_tile)]  # (1, T)
-
-        # det = -(d . cross_e); t_num = o . cross_e - d0
-        ce_x, ce_y, ce_z = row(ROW_CE), row(ROW_CE + 1), row(ROW_CE + 2)
-        det = -(dx * ce_x + dy * ce_y + dz * ce_z)
-        t_num = ox * ce_x + oy * ce_y + oz * ce_z - row(ROW_D0)
-
-        # u_num = (o x d) . e2 + d . (v0 x e2)
-        u_num = (
-            cx * row(ROW_E2) + cy * row(ROW_E2 + 1) + cz * row(ROW_E2 + 2)
-            + dx * row(ROW_WU) + dy * row(ROW_WU + 1) + dz * row(ROW_WU + 2)
-        )
-        # v_num = -((o x d) . e1) - d . (v0 x e1)
-        v_num = -(
-            cx * row(ROW_E1) + cy * row(ROW_E1 + 1) + cz * row(ROW_E1 + 2)
-            + dx * row(ROW_WV) + dy * row(ROW_WV + 1) + dz * row(ROW_WV + 2)
-        )
-
-        sign = jnp.where(det >= 0.0, 1.0, -1.0)
-        abs_det = det * sign
-        un = u_num * sign
-        vn = v_num * sign
-        t_hit = t_num / det
-        valid = (
-            (abs_det >= 1e-7)
-            & (un >= 0.0)
-            & (un <= abs_det)
-            & (vn >= 0.0)
-            & (un + vn <= abs_det)
-            & (t_hit > 1e-6)
-        )
-
-        if want_any:
-            blocked = valid & (row(ROW_MASK_ANY) > 0.0)
-            any_hit = any_hit | jnp.any(blocked, axis=1, keepdims=True)
-
-        if want_matrix:
-            t_masked = jnp.where(valid & (row(ROW_MASK_MAT) > 0.0), t_hit, INF)
-            tile_best = jnp.min(t_masked, axis=1, keepdims=True)
-            codes = row(ROW_CODE).astype(jnp.int32) + (det > 0.0).astype(jnp.int32)
-            code_masked = jnp.where(t_masked == tile_best, codes, jnp.int32(2**30))
-            code = jnp.min(code_masked, axis=1, keepdims=True)
-            take = tile_best < best_t
-            best_t = jnp.where(take, tile_best, best_t)
-            best_code = jnp.where(take, code, best_code)
-
-        return best_t, best_code, any_hit
+        return _tile_step(rays, row, carry, want_matrix=want_matrix,
+                          want_any=want_any)
 
     def guarded_body(i, carry):
         # whole-tile skip: Morton clustering makes culled regions contiguous
@@ -139,10 +157,9 @@ def _sweep_kernel(
             tiles_on_ref[0, i] > 0, lambda c: tile_body(i, c), lambda c: c, carry
         )
 
-    zero = dx * 0.0  # (B, 1), inherits any shard_map variance
-    init = (zero + INF, zero.astype(jnp.int32) - 1, zero > 0.0)
-    best_t, best_code, any_hit = jax.lax.fori_loop(0, n_tiles, guarded_body, init)
-
+    best_t, best_code, any_hit = jax.lax.fori_loop(
+        0, n_tiles, guarded_body, _sweep_init(rays[3])
+    )
     code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
     any_ref[:, :] = any_hit.astype(jnp.int32)
 
@@ -158,10 +175,7 @@ def _sweep_kernel_streamed(
     streamed byte feeds ray_block pair tests), so the DMA pipeline hides
     entirely behind the tile math.
     """
-    col = lambda j: rays_ref[:, j : j + 1]  # (B, 1)
-    ox, oy, oz = col(0), col(1), col(2)
-    dx, dy, dz = col(3), col(4), col(5)
-    cx, cy, cz = col(6), col(7), col(8)
+    rays = _ray_columns(rays_ref)
 
     def body(buf_ref, sem_ref):
         def tile_dma(slot, i):
@@ -174,7 +188,6 @@ def _sweep_kernel_streamed(
         tile_dma(0, 0).start()
 
         def tile_body(i, carry):
-            best_t, best_code, any_hit = carry
             slot = i % 2
 
             @pl.when(i + 1 < n_tiles)
@@ -183,54 +196,12 @@ def _sweep_kernel_streamed(
 
             tile_dma(slot, i).wait()
             row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
+            return _tile_step(rays, row, carry, want_matrix=want_matrix,
+                              want_any=want_any)
 
-            ce_x, ce_y, ce_z = row(ROW_CE), row(ROW_CE + 1), row(ROW_CE + 2)
-            det = -(dx * ce_x + dy * ce_y + dz * ce_z)
-            t_num = ox * ce_x + oy * ce_y + oz * ce_z - row(ROW_D0)
-            u_num = (
-                cx * row(ROW_E2) + cy * row(ROW_E2 + 1) + cz * row(ROW_E2 + 2)
-                + dx * row(ROW_WU) + dy * row(ROW_WU + 1) + dz * row(ROW_WU + 2)
-            )
-            v_num = -(
-                cx * row(ROW_E1) + cy * row(ROW_E1 + 1) + cz * row(ROW_E1 + 2)
-                + dx * row(ROW_WV) + dy * row(ROW_WV + 1) + dz * row(ROW_WV + 2)
-            )
-
-            sign = jnp.where(det >= 0.0, 1.0, -1.0)
-            abs_det = det * sign
-            un = u_num * sign
-            vn = v_num * sign
-            t_hit = t_num / det
-            valid = (
-                (abs_det >= 1e-7)
-                & (un >= 0.0)
-                & (un <= abs_det)
-                & (vn >= 0.0)
-                & (un + vn <= abs_det)
-                & (t_hit > 1e-6)
-            )
-
-            if want_any:
-                blocked = valid & (row(ROW_MASK_ANY) > 0.0)
-                any_hit = any_hit | jnp.any(blocked, axis=1, keepdims=True)
-            if want_matrix:
-                t_masked = jnp.where(valid & (row(ROW_MASK_MAT) > 0.0), t_hit, INF)
-                tile_best = jnp.min(t_masked, axis=1, keepdims=True)
-                codes = row(ROW_CODE).astype(jnp.int32) + (det > 0.0).astype(
-                    jnp.int32
-                )
-                code_masked = jnp.where(
-                    t_masked == tile_best, codes, jnp.int32(2**30)
-                )
-                code = jnp.min(code_masked, axis=1, keepdims=True)
-                take = tile_best < best_t
-                best_t = jnp.where(take, tile_best, best_t)
-                best_code = jnp.where(take, code, best_code)
-            return best_t, best_code, any_hit
-
-        zero = dx * 0.0
-        init = (zero + INF, zero.astype(jnp.int32) - 1, zero > 0.0)
-        best_t, best_code, any_hit = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+        best_t, best_code, any_hit = jax.lax.fori_loop(
+            0, n_tiles, tile_body, _sweep_init(rays[3])
+        )
         code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
         any_ref[:, :] = any_hit.astype(jnp.int32)
 

@@ -241,12 +241,10 @@ class _EmitterRun:
         if self.kernel == "pallas":
             from .config import PALLAS_RAY_BLOCK, PALLAS_TRI_TILE
 
-            tile = PALLAS_TRI_TILE
-            while tile > 128 and scene.n_tri_pad % tile != 0:
-                tile //= 2
+            # sweep_rays derives the final (divisible) tile width itself
             kwargs = dict(
                 ray_block=min(PALLAS_RAY_BLOCK, self.em_pack.n_rays_pad),
-                tri_tile=min(tile, scene.n_tri_pad),
+                tri_tile=PALLAS_TRI_TILE,
                 want_matrix=want_matrix,
                 want_any=want_any,
                 discrete=discrete,
@@ -403,6 +401,22 @@ def _drive_grouped(entries, *, want_matrix: bool, want_any: bool,
                         break
                     consume(mon, host, e_idx, k)
                 member["run"].itr_next = mon.iters_done
+                if mon.done:
+                    _entry_done(member)
+
+
+def _entry_done(entry) -> None:
+    """Completion hook: stamp per-emitter wall time and fire the entry's
+    ``on_done`` callback exactly once (checkpoint writers hang off this so a
+    preempted multi-emitter solve keeps every finished emitter's state)."""
+    if entry.get("_finished"):
+        return
+    entry["_finished"] = True
+    if "started" in entry:
+        entry["elapsed"] = time.time() - entry["started"]
+    callback = entry.get("on_done")
+    if callback is not None:
+        callback(entry)
 
 
 def _consume_matrix(mon, host, e_idx, k):
@@ -443,7 +457,6 @@ def _drive_pipelined(entries, *, want_matrix: bool, want_any: bool,
     """
     from collections import deque
 
-    t_start = time.time()
     queue = deque(e for e in entries if not e["monitor"].done)
     inflight: deque = deque()
 
@@ -461,6 +474,7 @@ def _drive_pipelined(entries, *, want_matrix: bool, want_any: bool,
             )
             if chunk <= 0:
                 mon.done = True
+                _entry_done(entry)
                 continue
             out = entry["run"].dispatch_chunk(
                 chunk, want_matrix=want_matrix, want_any=want_any,
@@ -479,7 +493,7 @@ def _drive_pipelined(entries, *, want_matrix: bool, want_any: bool,
         # rewind past discarded speculative iterations
         entry["run"].itr_next = mon.iters_done
         if mon.done:
-            entry["elapsed"] = time.time() - t_start
+            _entry_done(entry)
         else:
             queue.append(entry)
 
@@ -588,14 +602,18 @@ class _CheckpointStore:
         self._json = json
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
-        fingerprint_src = json.dumps(
-            {
-                "params": {k: params_dict[k] for k in sorted(params_dict)},
-                "meshes": [(n, int(F.shape[0])) for n, _, F in meshes],
-            },
-            sort_keys=True,
+        hasher = hashlib.sha256(
+            json.dumps(
+                {"params": {k: params_dict[k] for k in sorted(params_dict)}},
+                sort_keys=True,
+            ).encode()
         )
-        self.fingerprint = hashlib.sha256(fingerprint_src.encode()).hexdigest()[:16]
+        # geometry content, not just shape: edited vertices must invalidate
+        for name, V, F in meshes:
+            hasher.update(name.encode())
+            hasher.update(np.ascontiguousarray(V, dtype=np.float32).tobytes())
+            hasher.update(np.ascontiguousarray(F, dtype=np.int32).tobytes())
+        self.fingerprint = hasher.hexdigest()[:16]
 
     def _path(self, idx: int):
         return self.dir / f"emitter_{idx:05d}.json"
@@ -658,6 +676,9 @@ def view_factor_matrix(
 
     p = params.as_dict()
     device = _resolve_device(p["device"])
+    # reference parity: CPU solves check convergence every iteration
+    # (main.py:1889); the interval only batches checks on accelerators
+    interval = 1 if device.platform == "cpu" else p["convergence_interval"]
     prepared_solver = _ensure_prepared(meshes, prepared)
     use_bvh = _select_bvh(p["bvh"], prepared_solver.total_faces)
     reciprocity = bool(p["reciprocity"])
@@ -720,7 +741,7 @@ def view_factor_matrix(
             n_surf, recv_idx,
             n_rays_once=em_pack.n_rays_once,
             tol=p["tol"], tol_mode=p["tol_mode"],
-            min_iters=p["min_iters"], interval=p["convergence_interval"],
+            min_iters=p["min_iters"], interval=interval,
             max_iters=p["max_iters"],
         )
         entries.append(
@@ -728,17 +749,12 @@ def view_factor_matrix(
                  receivers=receivers)
         )
 
-    # Phase 2: batch same-shape emitter groups into single dispatches, then
-    # finish stragglers with the pipelined per-emitter driver
-    t_solve = time.time()
-    with profiler("matrix_solve"):
-        if kernel == "xla" and mesh is None and len(entries) > 1:
-            _drive_matrix_grouped(entries)
-        _drive_matrix_pipelined(entries)
-    solve_s = time.time() - t_solve
+    def _assemble(entry) -> None:
+        """Build the emitter's row/backfill/stats and checkpoint it.
 
-    # Phase 3: assemble rows in emitter order
-    for entry in entries:
+        Runs from the schedulers' completion hook the moment the emitter
+        converges, so a preempted long solve keeps every finished emitter.
+        """
         idx_emit, name_e = entry["idx"], entry["name"]
         monitor, receivers = entry["monitor"], entry["receivers"]
         se_f = monitor.wf.stderr()
@@ -756,16 +772,36 @@ def view_factor_matrix(
                 stats_row[f"{name_r}_front"] = float(se_f[j])
                 if reciprocity and areas is not None and areas[j] > 0.0:
                     back = f * (areas[idx_emit] / areas[j])
-                    result[name_r][f"{name_e}_front"] = back
                     backfill.setdefault(name_r, {})[f"{name_e}_front"] = back
             if b > 0.0:
                 row[f"{name_r}_back"] = b
                 stats_row[f"{name_r}_back"] = float(se_b[j])
-        result[name_e].update(row)
-        stats_result[name_e] = stats_row
+        entry["row"] = row
+        entry["stats"] = stats_row
+        entry["backfill"] = backfill
         if store is not None:
             store.save(idx_emit, name_e, row, backfill, stats_row)
 
+    t_solve = time.time()
+    for entry in entries:
+        entry["started"] = t_solve
+        entry["on_done"] = _assemble
+
+    # Phase 2: batch same-shape emitter groups into single dispatches, then
+    # finish stragglers with the pipelined per-emitter driver
+    with profiler("matrix_solve"):
+        if kernel == "xla" and mesh is None and len(entries) > 1:
+            _drive_matrix_grouped(entries)
+        _drive_matrix_pipelined(entries)
+    solve_s = time.time() - t_solve
+
+    # Phase 3: merge rows into the result in emitter order
+    for entry in entries:
+        idx_emit, name_e, monitor = entry["idx"], entry["name"], entry["monitor"]
+        result[name_e].update(entry["row"])
+        for name_r, back_entries in entry["backfill"].items():
+            result[name_r].update(back_entries)
+        stats_result[name_e] = entry["stats"]
         _emit_log(
             _progress_line(
                 idx_emit, n_surf, name_e, monitor.iters_done,
@@ -810,6 +846,7 @@ def view_factor_to_tregenza_sky(
     p = params.as_dict()
     discrete = bool(p["discrete"])
     device = _resolve_device(p["device"])
+    interval = 1 if device.platform == "cpu" else p["convergence_interval"]
     prepared_solver = _ensure_prepared(meshes, prepared)
     use_bvh = _select_bvh(p["bvh"], prepared_solver.total_faces)
     emitters = prepared_solver.get_emitters(
@@ -847,12 +884,14 @@ def view_factor_to_tregenza_sky(
                 discrete=discrete,
                 n_rays_once=em_pack.n_rays_once,
                 tol=p["tol"], tol_mode=p["tol_mode"],
-                min_iters=p["min_iters"], interval=p["convergence_interval"],
+                min_iters=p["min_iters"], interval=interval,
                 max_iters=p["max_iters"],
             )
             entries.append(dict(run=run, monitor=monitor, idx=idx_emit, name=name_e))
 
     t_solve = time.time()
+    for entry in entries:
+        entry["started"] = t_solve
     if kernel == "xla" and mesh is None and len(entries) > 1:
         _drive_sky_grouped(entries, discrete=discrete)
     _drive_sky_pipelined(entries, discrete=discrete)
@@ -959,7 +998,8 @@ def view_factor_matrix_and_sky(
                 n_surf, recv_idx,
                 n_rays_once=em_pack.n_rays_once,
                 tol=mp["tol"], tol_mode=mp["tol_mode"],
-                min_iters=mp["min_iters"], interval=mp["convergence_interval"],
+                min_iters=mp["min_iters"],
+                interval=1 if device.platform == "cpu" else mp["convergence_interval"],
                 max_iters=mp["max_iters"],
             )
             if receivers
@@ -969,7 +1009,8 @@ def view_factor_matrix_and_sky(
             discrete=discrete,
             n_rays_once=em_pack.n_rays_once,
             tol=sp["tol"], tol_mode=sp["tol_mode"],
-            min_iters=sp["min_iters"], interval=sp["convergence_interval"],
+            min_iters=sp["min_iters"],
+            interval=1 if device.platform == "cpu" else sp["convergence_interval"],
             max_iters=sp["max_iters"],
         )
         trace_iters = _drive_monitors(run, matrix_mon, sky_mon, discrete=discrete)

@@ -77,3 +77,40 @@ def test_checkpoint_invalidated_by_config_change(tmp_path):
     plain = view_factor_matrix(MESHES, params=other)
     # stale checkpoints (different fingerprint) are ignored, results correct
     assert fresh == plain
+
+
+def test_checkpoint_invalidated_by_geometry_change(tmp_path):
+    """Same names/topology but moved vertices must not reuse stale results."""
+    ckpt = str(tmp_path / "ckpt")
+    view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=ckpt)
+    moved = [MESHES[0], MESHES[1],
+             _square("top", 3.0, 3.0, normal=-1)]  # top plate moved z=1.2 -> 3
+    got = view_factor_matrix(moved, params=PARAMS, checkpoint_dir=ckpt)
+    plain = view_factor_matrix(moved, params=PARAMS)
+    assert got == plain  # re-solved, not restored
+
+
+def test_checkpoints_written_before_assembly(tmp_path, monkeypatch):
+    """Each emitter's checkpoint lands on disk the moment it converges, so a
+    crash after tracing but before result assembly loses nothing."""
+    ckpt = tmp_path / "ckpt"
+    # reciprocity off so every emitter traces (no Phase-1 skip logging) and
+    # _progress_line is reached only in the Phase-3 assembly loop
+    params = MatrixParams(**{**PARAMS.as_dict(), "reciprocity": False})
+
+    boom = RuntimeError("simulated crash before assembly")
+
+    def crash(*a, **kw):
+        raise boom
+
+    monkeypatch.setattr(solver_mod, "_progress_line", crash)
+    try:
+        view_factor_matrix(MESHES, params=params, checkpoint_dir=str(ckpt))
+    except RuntimeError as e:
+        assert e is boom
+    files = sorted(f.name for f in ckpt.glob("emitter_*.json"))
+    assert files == ["emitter_00000.json", "emitter_00001.json", "emitter_00002.json"]
+
+    monkeypatch.undo()
+    resumed = view_factor_matrix(MESHES, params=params, checkpoint_dir=str(ckpt))
+    assert resumed == view_factor_matrix(MESHES, params=params)
