@@ -47,6 +47,13 @@ SPECULATION_PCT = _env_int("RAYSTRACK_TPU_SPECULATION_PCT", 25, minimum=0)
 # "xla"/"pallas" force one. Both produce bitwise-identical counts.
 KERNEL = os.environ.get("RAYSTRACK_TPU_KERNEL", "auto").lower()
 
+# Multi-emitter scheduler for XLA-swept scenes: "grouped" batches same-shape
+# emitters via vmap (default — lowest per-block overhead); "scheduled" packs
+# arbitrary (emitter, iteration) block schedules into one dispatch per
+# convergence round (wins when a scene has many distinct emitter shapes and
+# dispatch overhead dominates, at ~4x per-block gather overhead).
+SCHEDULER = os.environ.get("RAYSTRACK_TPU_SCHEDULER", "grouped").lower()
+
 # Auto kernel choice uses the Pallas sweep only inside this triangle-count
 # window: below it the solve is not sweep-dominated (the XLA path fuses
 # per-block histograms and avoids materializing rays, which wins on small

@@ -365,6 +365,106 @@ def chunk_body(
     return out
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ray_block", "tri_tile", "want_matrix", "want_any", "discrete",
+    ),
+)
+def scheduled_trace(
+    scene: Tuple,
+    tables_flat: Tuple,  # 7 x (N_flat,) concatenated per-emitter tables
+    geom_stacked: Tuple,  # 8 x (E, Fmax[, 3]) padded per-emitter geometry
+    cp: jnp.ndarray,  # (R, 7) CP rows, indexed by the schedule
+    surf_active_ext: jnp.ndarray,  # (E, S+1)
+    emit_sid: jnp.ndarray,  # (E,)
+    min_sid: jnp.ndarray,  # (E,)
+    n_rays_once: jnp.ndarray,  # (E,)
+    plane_vec: jnp.ndarray,  # (E, 8)
+    schedule: jnp.ndarray,  # (nb, 4) i32: [emitter, cp_row, table_off, ray_base]
+    *,
+    ray_block: int,
+    tri_tile: int,
+    want_matrix: bool,
+    want_any: bool,
+    discrete: bool,
+) -> Dict[str, jnp.ndarray]:
+    """Trace an arbitrary block schedule spanning many emitters/iterations.
+
+    The scheduler's generalization of :func:`chunk_body`: each of the ``nb``
+    blocks names its emitter, Cranley-Patterson row, offset into the flat
+    ray tables and in-iteration ray base, so ONE dispatch can cover any mix
+    of (emitter, iteration) work — e.g. a whole scene's convergence round.
+    Returns per-block histograms (nb, ...) that the host aggregates back to
+    (emitter, iteration) using the same schedule. Padding blocks (used to
+    keep ``nb`` in a small set of compiled sizes) are simply ignored by the
+    host aggregation.
+    """
+    sid = scene[7]
+    n_emit = surf_active_ext.shape[0]
+    n_surf = surf_active_ext.shape[1] - 1
+    nb = schedule.shape[0]
+
+    # per-emitter triangle masks and tile activity, computed once
+    def emitter_masks(e):
+        return compute_masks(
+            scene, surf_active_ext[e], emit_sid[e], min_sid[e], plane_vec[e]
+        )
+
+    m_any_all, m_mat_all = jax.vmap(emitter_masks)(
+        jnp.arange(n_emit, dtype=jnp.int32)
+    )
+    relevant = m_any_all if want_any else m_mat_all
+    n_tiles = sid.shape[0] // tri_tile
+    tiles_on_all = jnp.any(
+        relevant.reshape(n_emit, n_tiles, tri_tile), axis=2
+    ).astype(jnp.int32)
+
+    def run_block(block_row):
+        e = block_row[0]
+        cp_row = cp[block_row[1]]
+        off = block_row[2]
+        tb = tuple(
+            jax.lax.dynamic_slice_in_dim(t, off, ray_block, axis=0)
+            for t in tables_flat
+        )
+        geom_e = tuple(
+            jax.lax.dynamic_index_in_dim(g, e, axis=0, keepdims=False)
+            for g in geom_stacked
+        )
+        o, d = generate_rays(tb, geom_e, cp_row)
+        ray_idx = block_row[3] + jnp.arange(ray_block, dtype=jnp.int32)
+        ray_valid = ray_idx < n_rays_once[e]
+
+        best_code, any_hit = _sweep_tiles(
+            o,
+            d,
+            ray_valid,
+            scene,
+            m_any_all[e],
+            m_mat_all[e],
+            tri_tile=tri_tile,
+            want_matrix=want_matrix,
+            want_any=want_any,
+            tile_active=tiles_on_all[e],
+        )
+
+        out: Dict[str, jnp.ndarray] = {}
+        if want_matrix:
+            counts_f, counts_b = _matrix_histogram(best_code, n_surf)
+            out["counts_f"] = counts_f
+            out["counts_b"] = counts_b
+        if want_any:
+            miss = ~any_hit & ray_valid
+            if discrete:
+                out["sky_bins"] = _sky_histogram(d, miss)
+            else:
+                out["upward"] = jnp.sum(miss & (d[:, 2] > 0.0), dtype=jnp.int32)
+        return out
+
+    return jax.lax.map(run_block, schedule)
+
+
 def chunk_body_pallas(
     scene: Tuple,
     tables: Tuple,
@@ -507,6 +607,7 @@ __all__ = [
     "generate_rays",
     "chunk_body",
     "chunk_body_pallas",
+    "scheduled_trace",
     "trace_chunk",
     "INF",
 ]

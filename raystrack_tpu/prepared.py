@@ -501,6 +501,7 @@ class PreparedSolver:
         self._emitter_cache: Dict[Tuple[int, int, bool], List[PreparedEmitter]] = {}
         self._scene_pack_cache: Dict[Tuple[str, bool], ScenePack] = {}
         self._emitter_pack_cache: Dict[Tuple[str, int, int, int, bool, int], EmitterPack] = {}
+        self._flat_cache: Dict[Tuple, Tuple] = {}
         self._mesh_bounds_cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
     # -- host state --------------------------------------------------------
@@ -549,6 +550,7 @@ class PreparedSolver:
     def clear_device_cache(self) -> None:
         self._scene_pack_cache.clear()
         self._emitter_pack_cache.clear()
+        self._flat_cache.clear()
 
     @staticmethod
     def _device_key(device) -> str:
@@ -562,6 +564,88 @@ class PreparedSolver:
                 scene, len(self.meshes), device=device
             )
         return self._scene_pack_cache[key]
+
+    def get_flat_tables(
+        self,
+        *,
+        samples: int,
+        rays: int,
+        flip_faces: bool,
+        align: int = RAY_BLOCK,
+        device=None,
+    ):
+        """Scene-wide flat ray tables + stacked geometry for scheduled solves.
+
+        Concatenates every emitter's padded per-ray tables into one flat
+        device array (7 of them) and stacks the per-emitter geometry padded
+        to the max face count (CDF padded with 1.0, which a CDF search can
+        never select). Returns
+        ``(tables_flat, geom_stacked, offsets, n_rays_pad)`` where
+        ``offsets[e]`` is emitter e's start in the flat tables.
+        """
+        key = (
+            "flat", self._device_key(device), int(samples), int(rays),
+            bool(flip_faces), int(align),
+        )
+        cached = self._flat_cache.get(key)
+        if cached is not None:
+            return cached
+
+        import jax
+
+        emitters = self.get_emitters(samples=samples, rays=rays, flip_faces=flip_faces)
+        n_pad = np.array(
+            [_round_up(e.n_cells * rays, align) for e in emitters], dtype=np.int64
+        )
+        offsets = np.concatenate([[0], np.cumsum(n_pad)[:-1]]).astype(np.int64)
+        total = int(n_pad.sum())
+
+        def flat(per_emitter_fn):
+            out = np.zeros(total, dtype=np.float32)
+            for e_idx, em in enumerate(emitters):
+                arr = per_emitter_fn(em)
+                out[offsets[e_idx] : offsets[e_idx] + arr.shape[0]] = arr
+            return jax.device_put(out, device)
+
+        tables_flat = (
+            flat(lambda em: np.repeat(em.u_grid, rays)),
+            flat(lambda em: np.repeat(em.v_grid, rays)),
+            flat(lambda em: em.halton_tri),
+            flat(lambda em: em.halton_u),
+            flat(lambda em: em.halton_v),
+            flat(lambda em: em.halton_r1),
+            flat(lambda em: em.halton_r2),
+        )
+
+        f_max = max(em.cdf.shape[0] for em in emitters)
+
+        def stack2(get, fill=0.0):
+            out = np.full((len(emitters), f_max), fill, dtype=np.float32)
+            for e_idx, em in enumerate(emitters):
+                arr = get(em)
+                out[e_idx, : arr.shape[0]] = arr
+            return jax.device_put(out, device)
+
+        def stack3(get):
+            out = np.zeros((len(emitters), f_max, 3), dtype=np.float32)
+            for e_idx, em in enumerate(emitters):
+                arr = get(em)
+                out[e_idx, : arr.shape[0]] = arr
+            return jax.device_put(out, device)
+
+        geom_stacked = (
+            stack2(lambda em: em.cdf, fill=1.0),
+            stack3(lambda em: em.tri_a),
+            stack3(lambda em: em.tri_e1),
+            stack3(lambda em: em.tri_e2),
+            stack3(lambda em: em.tri_u),
+            stack3(lambda em: em.tri_v),
+            stack3(lambda em: em.tri_n),
+            stack2(lambda em: em.tri_origin_eps),
+        )
+        cached = (tables_flat, geom_stacked, offsets, n_pad)
+        self._flat_cache[key] = cached
+        return cached
 
     def get_emitter_pack(
         self,

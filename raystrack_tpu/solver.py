@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .config import RAY_BLOCK
+from .config import RAY_BLOCK, TARGET_CHUNK_RAYS
 from .convergence import MatrixMonitor, SkyMonitor, plan_chunk
 from .params import MatrixParams, SkyParams
 from .prepared import EmitterPack, PreparedEmitter, PreparedSolver, ScenePack
@@ -419,6 +419,139 @@ def _entry_done(entry) -> None:
         callback(entry)
 
 
+def _pow2_at_least(n: int, lo: int = 128) -> int:
+    size = lo
+    while size < n:
+        size *= 2
+    return size
+
+
+def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
+                            scene_pack, pack_dev, n_meshes: int) -> None:
+    """Whole-scene scheduled solves: one dispatch per convergence round.
+
+    Builds a block schedule spanning every pending emitter's next chunk and
+    executes it as a single jitted program (ops.trace.scheduled_trace), then
+    replays per-(emitter, iteration) aggregates through the monitors. The
+    dispatch count becomes the number of convergence rounds of the slowest
+    emitter instead of (emitters x rounds) — the scheduler end-state of the
+    reference's multi-stream batching. Schedule/CP arrays are padded to
+    power-of-two sizes to bound compiled variants; padding blocks re-trace
+    block 0 and are ignored by the aggregation.
+    """
+    import jax.numpy as jnp
+
+    from .ops.trace import scheduled_trace
+
+    tables_flat, geom_stacked, offsets, n_pad = prepared_solver.get_flat_tables(
+        samples=p["samples"], rays=p["rays"], flip_faces=flip_faces,
+        align=align, device=pack_dev,
+    )
+    n_surf = n_meshes
+    surf_b = np.zeros((n_meshes, n_surf + 1), dtype=np.int32)
+    emit_b = np.zeros(n_meshes, dtype=np.int32)
+    min_b = np.zeros(n_meshes, dtype=np.int32)
+    once_b = np.zeros(n_meshes, dtype=np.int32)
+    plane_b = np.zeros((n_meshes, 8), dtype=np.float32)
+    for entry in entries:
+        e = entry["idx"]
+        surf_b[e, :-1] = entry["surf_active"]
+        emit_b[e] = entry["emit_sid"]
+        min_b[e] = entry["min_sid"]
+        once_b[e] = entry["run"].em_pack.n_rays_once
+        plane_b[e] = np.asarray(entry["run"].em_pack.plane_vec)
+    import jax
+
+    surf_b = jax.device_put(surf_b, pack_dev)
+    emit_b = jax.device_put(emit_b, pack_dev)
+    min_b = jax.device_put(min_b, pack_dev)
+    once_b = jax.device_put(once_b, pack_dev)
+    plane_b = jax.device_put(plane_b, pack_dev)
+
+    scene_t = (
+        scene_pack.v0, scene_pack.e1, scene_pack.e2, scene_pack.cross_e,
+        scene_pack.w_u, scene_pack.w_v, scene_pack.d0, scene_pack.sid,
+    )
+
+    max_blocks = max(256, TARGET_CHUNK_RAYS // RAY_BLOCK * 8)
+    pending = [e for e in entries if not e["monitor"].done]
+    while pending:
+        rows: List[List[int]] = []
+        cp_list: List[np.ndarray] = []
+        plan: List[Tuple] = []  # (entry, start_row, bpi, n_iters)
+        for entry in pending:
+            mon = entry["monitor"]
+            run = entry["run"]
+            e = entry["idx"]
+            bpi = int(n_pad[e]) // RAY_BLOCK
+            budget = max(1, (max_blocks - len(rows)) // max(1, bpi))
+            chunk = min(
+                plan_chunk(
+                    mon.iters_done,
+                    min_iters=mon.min_iters,
+                    interval=mon.interval,
+                    max_iters=mon.max_iters,
+                    rays_per_iter=int(n_pad[e]),
+                    projected_total=mon.projected_total(),
+                ),
+                budget,
+            )
+            if chunk <= 0:
+                continue
+            start_row = len(rows)
+            for c in range(chunk):
+                cp_idx = len(cp_list)
+                cp_list.append(_cp_rows(run.seed, run.idx_emit, run.itr_next + c, 1)[0])
+                base_off = int(offsets[e])
+                for b in range(bpi):
+                    rows.append([e, cp_idx, base_off + b * RAY_BLOCK, b * RAY_BLOCK])
+            run.itr_next += chunk
+            plan.append((entry, start_row, bpi, chunk))
+            if len(rows) >= max_blocks:
+                break
+        if not plan:
+            for entry in pending:
+                entry["monitor"].done = True
+                _entry_done(entry)
+            break
+
+        nb = _pow2_at_least(len(rows))
+        n_cp = _pow2_at_least(len(cp_list), lo=8)
+        schedule = np.zeros((nb, 4), dtype=np.int32)
+        schedule[: len(rows)] = np.asarray(rows, dtype=np.int32)
+        schedule[len(rows):] = schedule[0]
+        cp = np.zeros((n_cp, 7), dtype=np.float32)
+        cp[: len(cp_list)] = np.stack(cp_list)
+
+        out = scheduled_trace(
+            scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
+            surf_b, emit_b, min_b, once_b, plane_b,
+            jnp.asarray(schedule),
+            ray_block=RAY_BLOCK,
+            tri_tile=scene_pack.tri_tile,
+            want_matrix=True,
+            want_any=False,
+            discrete=False,
+        )
+        counts_f = np.asarray(out["counts_f"])
+        counts_b = np.asarray(out["counts_b"])
+
+        for entry, start_row, bpi, chunk in plan:
+            mon = entry["monitor"]
+            for c in range(chunk):
+                if mon.done:
+                    break
+                r0 = start_row + c * bpi
+                mon.consume_iteration(
+                    counts_f[r0 : r0 + bpi].sum(axis=0),
+                    counts_b[r0 : r0 + bpi].sum(axis=0),
+                )
+            entry["run"].itr_next = mon.iters_done
+            if mon.done:
+                _entry_done(entry)
+        pending = [e for e in pending if not e["monitor"].done]
+
+
 def _consume_matrix(mon, host, e_idx, k):
     mon.consume_iteration(host["counts_f"][e_idx, k], host["counts_b"][e_idx, k])
 
@@ -746,7 +879,8 @@ def view_factor_matrix(
         )
         entries.append(
             dict(run=run, monitor=monitor, idx=idx_emit, name=name_e,
-                 receivers=receivers)
+                 receivers=receivers, surf_active=surf_active,
+                 emit_sid=emit_sid, min_sid=min_sid)
         )
 
     def _assemble(entry) -> None:
@@ -787,11 +921,20 @@ def view_factor_matrix(
         entry["started"] = t_solve
         entry["on_done"] = _assemble
 
-    # Phase 2: batch same-shape emitter groups into single dispatches, then
-    # finish stragglers with the pipelined per-emitter driver
+    # Phase 2: whole-scene scheduled dispatches when possible, then the
+    # pipelined per-emitter driver for anything left (single emitters,
+    # Pallas-swept scenes, device-mesh solves)
     with profiler("matrix_solve"):
         if kernel == "xla" and mesh is None and len(entries) > 1:
-            _drive_matrix_grouped(entries)
+            from .config import SCHEDULER
+
+            if SCHEDULER == "scheduled":
+                _drive_matrix_scheduled(
+                    entries, prepared_solver, p, flip_faces, align,
+                    scene_pack, pack_dev, n_surf,
+                )
+            else:
+                _drive_matrix_grouped(entries)
         _drive_matrix_pipelined(entries)
     solve_s = time.time() - t_solve
 
