@@ -34,7 +34,7 @@ never hit. Epsilons match the reference: |det| >= 1e-7, t > 1e-6.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
