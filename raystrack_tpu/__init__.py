@@ -27,6 +27,7 @@ from .io import (
     load_meshes_json,
     merge_vf_matrix,
 )
+from .obj import load_meshes_obj
 
 __version__ = "0.1.0"
 
@@ -44,5 +45,6 @@ __all__ = [
     "load_vf_matrix_json",
     "save_meshes_json",
     "load_meshes_json",
+    "load_meshes_obj",
     "merge_vf_matrix",
 ]
