@@ -25,6 +25,12 @@ def _env_int(name: str, default: int, *, minimum: int = 1) -> int:
 # alignment unit: per-emitter ray batches are zero-padded to a multiple.
 RAY_BLOCK = _env_int("RAYSTRACK_TPU_RAY_BLOCK", 2048)
 
+# Bucket per-emitter ray counts into a {2^i, 3*2^i} block series (<= 33%
+# masked-ray overhead) so scenes with many distinct emitter sizes share a
+# handful of compiled shapes instead of one per size. Set to 0 for exact
+# block-multiple padding.
+RAY_BUCKETING = _env_int("RAYSTRACK_TPU_RAY_BUCKETING", 1, minimum=0)
+
 # Maximum triangle-tile width of the trace sweep (lanes dimension).
 TRI_TILE = _env_int("RAYSTRACK_TPU_TRI_TILE", 512)
 

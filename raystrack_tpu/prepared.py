@@ -285,6 +285,26 @@ def _round_up(n: int, align: int) -> int:
     return ((max(n, 1) + align - 1) // align) * align
 
 
+def _pad_rays(n: int, align: int) -> int:
+    """Padded per-emitter ray count: align to blocks, then (by default)
+    bucket the block count into the {2^i, 3*2^i} series so differently-sized
+    emitters collapse onto shared compiled shapes. Padded tail rays are
+    masked out of every count, so only <= 33% device compute is traded for
+    ~one-per-octave compilation classes."""
+    from .config import RAY_BUCKETING
+
+    blocks = (max(n, 1) + align - 1) // align
+    if not RAY_BUCKETING:
+        return blocks * align
+    size = 1
+    while size < blocks:
+        if size * 3 // 2 >= blocks and size % 2 == 0:
+            size = size * 3 // 2
+            break
+        size *= 2
+    return size * align
+
+
 def morton_order(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> np.ndarray:
     """Triangle permutation by 30-bit Morton code of quantized centroids.
 
@@ -437,7 +457,7 @@ def pack_emitter(
     import jax
 
     n_rays_once = emitter.n_cells * rays
-    n_rays_pad = _round_up(n_rays_once, align)
+    n_rays_pad = _pad_rays(n_rays_once, align)
     if ray_device is None:
         ray_device = device
 
@@ -595,7 +615,7 @@ class PreparedSolver:
 
         emitters = self.get_emitters(samples=samples, rays=rays, flip_faces=flip_faces)
         n_pad = np.array(
-            [_round_up(e.n_cells * rays, align) for e in emitters], dtype=np.int64
+            [_pad_rays(e.n_cells * rays, align) for e in emitters], dtype=np.int64
         )
         offsets = np.concatenate([[0], np.cumsum(n_pad)[:-1]]).astype(np.int64)
         total = int(n_pad.sum())

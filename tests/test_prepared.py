@@ -116,3 +116,23 @@ def test_prepared_solver_caching():
     centers, extents = ps.get_mesh_bounds()
     np.testing.assert_allclose(centers[0], [0.5, 0.5, 0.0])
     np.testing.assert_allclose(extents[1], [0.5, 0.5, 0.0])
+
+
+def test_ray_bucketing_series():
+    from raystrack_tpu.prepared import _pad_rays
+
+    # exact block multiples in the {2^i, 3*2^(i-1)} series stay put
+    assert _pad_rays(2048, 2048) == 2048
+    assert _pad_rays(8192, 2048) == 8192
+    assert _pad_rays(6 * 2048, 2048) == 6 * 2048
+    # everything else rounds up within 33% (the bound applies to the block
+    # count; tiny emitters below a few blocks can see up to 2x, which is
+    # negligible in absolute terms)
+    for n in (10000, 36864, 165888, 295936, 999999):
+        pad = _pad_rays(n, 2048)
+        blocks_in = -(-n // 2048)
+        assert pad % 2048 == 0
+        assert pad >= n
+        assert (pad // 2048) / blocks_in <= 1.5 + 1e-9
+    # distinct sizes collapse onto shared classes
+    assert _pad_rays(295936, 2048) == _pad_rays(346112, 2048)

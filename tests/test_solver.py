@@ -275,3 +275,19 @@ def test_return_stats():
     assert 0.0 < se < 1e-2
     # stderr should be an honest scale for the actual error
     assert set(stats.keys()) == {"bottom", "top"}
+
+
+def test_forced_pallas_kernel_on_cpu(monkeypatch):
+    """RAYSTRACK_TPU_KERNEL=pallas on the CPU backend runs the kernel in
+    interpret mode and matches the XLA path exactly."""
+    import raystrack_tpu.config as config
+
+    meshes = [
+        _square("bottom", 1.0, 0.0, normal=+1),
+        _square("top", 1.0, 1.0, normal=-1),
+    ]
+    params = _params(max_iters=4, min_iters=2, samples=8, rays=32)
+    base = view_factor_matrix(meshes, params=params)
+    monkeypatch.setattr(config, "KERNEL", "pallas")
+    forced = view_factor_matrix(meshes, params=params)
+    assert forced == base
