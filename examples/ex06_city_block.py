@@ -22,7 +22,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-GRID = 7  # GRID x GRID buildings
+GRID = 5  # GRID x GRID buildings
 LOT = 20.0  # lot pitch (m)
 STREET = 8.0  # street width between buildings
 
@@ -82,8 +82,8 @@ def main():
     target_idx = next(i for i, m in enumerate(meshes) if m[0] == target)
 
     params = MatrixParams(
-        samples=8, rays=256, seed=5, bvh="auto", device="auto",
-        max_iters=60, min_iters=10, tol=2e-4, reciprocity=False,
+        samples=4, rays=256, seed=5, bvh="auto", device="auto",
+        max_iters=40, min_iters=10, tol=5e-4, reciprocity=False,
     )
     t0 = time.time()
     row = view_factor_matrix_partition(
@@ -98,8 +98,8 @@ def main():
         print(f"  {key:24s} {value:.4f}")
 
     sky_params = SkyParams(
-        samples=8, rays=256, seed=5, bvh="auto", device="auto",
-        max_iters=60, min_iters=10, tol=2e-4,
+        samples=4, rays=256, seed=5, bvh="auto", device="auto",
+        max_iters=40, min_iters=10, tol=5e-4,
     )
     t0 = time.time()
     sky = view_factor_to_tregenza_sky(meshes, params=sky_params)
