@@ -651,6 +651,94 @@ def _drive_sky_pipelined(entries, *, discrete: bool, depth: int = 3) -> None:
     )
 
 
+def _drive_combined_pipelined(entries, *, discrete: bool, depth: int = 3) -> None:
+    """Pipelined round-robin over emitters with dual (matrix, sky) monitors.
+
+    The shared-ray workflow analogue of :func:`_drive_pipelined`: each
+    emitter's dispatch kind follows its own state machine (combined while
+    both outputs are pending, then the cheaper single-output kernel), and up
+    to ``depth`` emitters keep a chunk in flight. Replay semantics match
+    :func:`_drive_monitors` exactly, including the speculative-rewind of the
+    RNG stream shared by both outputs.
+
+    ``entries`` carry ``run``, optional ``matrix_mon`` and ``sky_mon``, and
+    accumulate ``trace_iters``.
+    """
+    from collections import deque
+
+    queue = deque()
+    for entry in entries:
+        entry.setdefault("trace_iters", 0)
+        m = entry.get("matrix_mon")
+        s = entry.get("sky_mon")
+        if (m is not None and not m.done) or (s is not None and not s.done):
+            queue.append(entry)
+    inflight: deque = deque()
+
+    while queue or inflight:
+        while queue and len(inflight) < depth:
+            entry = queue.popleft()
+            m = entry.get("matrix_mon")
+            s = entry.get("sky_mon")
+            m_pending = m is not None and not m.done
+            s_pending = s is not None and not s.done
+            chunk = 0
+            for mon in (m, s):
+                if mon is None or mon.done:
+                    continue
+                chunk = max(
+                    chunk,
+                    plan_chunk(
+                        mon.iters_done,
+                        min_iters=mon.min_iters,
+                        interval=mon.interval,
+                        max_iters=mon.max_iters,
+                        rays_per_iter=entry["run"].em_pack.n_rays_pad,
+                        projected_total=mon.projected_total(),
+                    ),
+                )
+            if chunk <= 0:
+                for mon in (m, s):
+                    if mon is not None:
+                        mon.done = True
+                _entry_done(entry)
+                continue
+            out = entry["run"].dispatch_chunk(
+                chunk, want_matrix=m_pending, want_any=s_pending,
+                discrete=discrete,
+            )
+            inflight.append((entry, out, chunk, m_pending, s_pending))
+        if not inflight:
+            break
+        entry, out, chunk, m_pending, s_pending = inflight.popleft()
+        host = {k: np.asarray(v) for k, v in out.items()}
+        m = entry.get("matrix_mon")
+        s = entry.get("sky_mon")
+        for k in range(chunk):
+            used = False
+            if m_pending and not m.done:
+                m.consume_iteration(host["counts_f"][k], host["counts_b"][k])
+                used = True
+            if s_pending and not s.done:
+                s.consume_iteration(
+                    host["sky_bins"][k] if discrete else int(host["upward"][k])
+                )
+                used = True
+            if used:
+                entry["trace_iters"] = max(
+                    entry["trace_iters"],
+                    m.iters_done if m is not None else 0,
+                    s.iters_done if s is not None else 0,
+                )
+        entry["run"].itr_next = entry["trace_iters"]
+        m_done = m is None or m.done
+        s_done = s is None or s.done
+        if m_done and s_done:
+            _entry_done(entry)
+        else:
+            queue.append(entry)
+
+
 def _drive_monitors(
     run: _EmitterRun,
     matrix_mon: Optional[MatrixMonitor],
@@ -1118,8 +1206,8 @@ def view_factor_matrix_and_sky(
     sky_vf: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
 
     n_surf = len(meshes)
+    entries: List[Dict] = []
     for idx_emit, (name_e, _, _) in enumerate(meshes):
-        t0 = time.time()
         emitter = emitters[idx_emit]
         surf_active = _build_emitter_surface_mask(
             idx_emit, emitter, bounds_center, bounds_extent
@@ -1156,7 +1244,23 @@ def view_factor_matrix_and_sky(
             interval=1 if device.platform == "cpu" else sp["convergence_interval"],
             max_iters=sp["max_iters"],
         )
-        trace_iters = _drive_monitors(run, matrix_mon, sky_mon, discrete=discrete)
+        entries.append(
+            dict(run=run, matrix_mon=matrix_mon, sky_mon=sky_mon,
+                 idx=idx_emit, name=name_e, receivers=receivers)
+        )
+
+    t_solve = time.time()
+    for entry in entries:
+        entry["started"] = t_solve
+    _drive_combined_pipelined(entries, discrete=discrete)
+    solve_s = time.time() - t_solve
+
+    for entry in entries:
+        idx_emit, name_e = entry["idx"], entry["name"]
+        matrix_mon, sky_mon = entry["matrix_mon"], entry["sky_mon"]
+        receivers = entry["receivers"]
+        run, trace_iters = entry["run"], entry["trace_iters"]
+        em_pack = run.em_pack
 
         if matrix_mon is not None and matrix_mon.total_rays > 0:
             row: Dict[str, float] = {}
@@ -1188,7 +1292,8 @@ def view_factor_matrix_and_sky(
         matrix_iters = matrix_mon.iters_done if matrix_mon is not None else 0
         _emit_log(
             f"({idx_emit + 1}/{n_surf}) [{name_e}] traced {trace_iters} iter, "
-            f"{trace_iters * em_pack.n_rays_once:,} rays -> {time.time() - t0:0.3f}s  "
+            f"{trace_iters * em_pack.n_rays_once:,} rays -> "
+            f"{entry.get('elapsed', solve_s):0.3f}s  "
             f"(scene={matrix_iters} iter, sky={sky_mon.iters_done} iter, "
             f"BVH={'builtin' if use_bvh else 'off'}, device={_device_label(device)})"
         )
