@@ -362,3 +362,69 @@ def test_pallas_streamed_matches_resident():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     assert int((np.asarray(c1) >= 0).sum()) > 0  # scene actually hit
+
+
+def test_scheduled_trace_matches_chunk_body():
+    """A block schedule spanning two emitters reproduces per-emitter chunk
+    results exactly (matrix + sky outputs)."""
+    from raystrack_tpu.ops.trace import scheduled_trace
+
+    meshes = [
+        _square("ground", 2.0, 0.0, normal=+1),
+        _square("mid", 1.5, 0.7, normal=-1, center=(0.3, -0.2)),
+        _square("top", 3.0, 1.3, normal=-1),
+    ]
+    ps = PreparedSolver(meshes)
+    scene = ps.get_scene_pack()
+    scene_t = (scene.v0, scene.e1, scene.e2, scene.cross_e,
+               scene.w_u, scene.w_v, scene.d0, scene.sid)
+    tables_flat, geom_stacked, offsets, n_pad = ps.get_flat_tables(
+        samples=8, rays=32, flip_faces=False
+    )
+    E, S = len(meshes), len(meshes)
+    surf_b = np.zeros((E, S + 1), np.int32)
+    emit_b = np.zeros(E, np.int32)
+    min_b = np.zeros(E, np.int32)
+    once_b = np.zeros(E, np.int32)
+    plane_b = np.zeros((E, 8), np.float32)
+    centers, extents = ps.get_mesh_bounds()
+    for e in range(E):
+        em_host = ps.get_emitter(e, samples=8, rays=32, flip_faces=False)
+        surf_b[e, :-1] = _build_emitter_surface_mask(e, em_host, centers, extents)
+        emit_b[e], min_b[e] = _matrix_skip(e, False)
+        once_b[e] = em_host.n_cells * 32
+        pk = ps.get_emitter_pack(e, samples=8, rays=32, flip_faces=False)
+        plane_b[e] = np.asarray(pk.plane_vec)
+
+    # schedule: 2 iterations of emitter 0, 1 iteration of emitter 2
+    rows, cps = [], []
+    for e, itr in ((0, 0), (0, 1), (2, 0)):
+        ci = len(cps)
+        cps.append(_cp_rows(5, e, itr, 1)[0])
+        for b in range(int(n_pad[e]) // RAY_BLOCK):
+            rows.append([e, ci, int(offsets[e]) + b * RAY_BLOCK, b * RAY_BLOCK])
+    out = scheduled_trace(
+        scene_t, tables_flat, geom_stacked,
+        jnp.asarray(np.stack(cps)), jnp.asarray(surf_b), jnp.asarray(emit_b),
+        jnp.asarray(min_b), jnp.asarray(once_b), jnp.asarray(plane_b),
+        jnp.asarray(np.asarray(rows, np.int32)),
+        ray_block=RAY_BLOCK, tri_tile=scene.tri_tile,
+        want_matrix=True, want_any=True, discrete=True,
+    )
+    sched = {k: np.asarray(v) for k, v in out.items()}
+
+    # reference: per-emitter chunk_body through trace_chunk
+    def per_emitter(e, chunk, itr0):
+        ref, n_once = _run(meshes, e, chunk=chunk, itr_start=itr0,
+                           want_matrix=True, want_any=True, discrete=True,
+                           samples=8, rays=32)
+        return ref
+
+    ref0 = per_emitter(0, 2, 0)
+    ref2 = per_emitter(2, 1, 0)
+    bpi0 = int(n_pad[0]) // RAY_BLOCK
+    bpi2 = int(n_pad[2]) // RAY_BLOCK
+    for key in ("counts_f", "counts_b", "sky_bins"):
+        np.testing.assert_array_equal(sched[key][:bpi0].sum(0), ref0[key][0])
+        np.testing.assert_array_equal(sched[key][bpi0:2 * bpi0].sum(0), ref0[key][1])
+        np.testing.assert_array_equal(sched[key][2 * bpi0:].sum(0), ref2[key][0])
