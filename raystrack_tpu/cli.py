@@ -116,6 +116,14 @@ def main(argv: List[str] | None = None) -> int:
     elif args.command == "sky":
         from .solver import view_factor_to_tregenza_sky
 
+        if len(meshes) <= 1:
+            # reference parity: the sky solver skips single-mesh scenes
+            # (nothing occludes), returning zero rows
+            print(
+                "warning: single-mesh scene - the sky solver needs at least "
+                "two meshes (reference behavior); output will be zeros. "
+                "Use 'workflow' for an unobstructed-sky estimate."
+            )
         sky = view_factor_to_tregenza_sky(meshes, params=_sky_params(args))
         path = save_vf_matrix_json(sky, args.out)
         print(f"Wrote {path}")

@@ -280,6 +280,51 @@ def _sky_histogram(direction: jnp.ndarray, miss: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
+def _trace_and_reduce_block(
+    scene: Tuple,
+    tables_block: Tuple,
+    geom: Tuple,
+    cp_row,
+    ray_valid,
+    m_any,
+    m_mat,
+    tiles_on,
+    *,
+    tri_tile: int,
+    want_matrix: bool,
+    want_any: bool,
+    discrete: bool,
+    n_surf: int,
+) -> Dict[str, jnp.ndarray]:
+    """Raygen + sweep + histograms for one ray block (shared by the chunked
+    and scheduled solve steps)."""
+    o, d = generate_rays(tables_block, geom, cp_row)
+    best_code, any_hit = _sweep_tiles(
+        o,
+        d,
+        ray_valid,
+        scene,
+        m_any,
+        m_mat,
+        tri_tile=tri_tile,
+        want_matrix=want_matrix,
+        want_any=want_any,
+        tile_active=tiles_on,
+    )
+    out: Dict[str, jnp.ndarray] = {}
+    if want_matrix:
+        counts_f, counts_b = _matrix_histogram(best_code, n_surf)
+        out["counts_f"] = counts_f
+        out["counts_b"] = counts_b
+    if want_any:
+        miss = ~any_hit & ray_valid
+        if discrete:
+            out["sky_bins"] = _sky_histogram(d, miss)
+        else:
+            out["upward"] = jnp.sum(miss & (d[:, 2] > 0.0), dtype=jnp.int32)
+    return out
+
+
 def chunk_body(
     scene: Tuple,
     tables: Tuple,
@@ -323,38 +368,14 @@ def chunk_body(
         tb = tuple(
             jax.lax.dynamic_slice_in_dim(t, off, ray_block, axis=0) for t in tables
         )
-        o, d = generate_rays(tb, geom, cp[itr])
         # Global ray index inside the iteration decides validity (tail pad).
         ray_idx = ray_index_base + off + jnp.arange(ray_block, dtype=jnp.int32)
-        ray_valid = ray_idx < n_rays_once
-
-        best_code, any_hit = _sweep_tiles(
-            o,
-            d,
-            ray_valid,
-            scene,
-            m_any,
-            m_mat,
-            tri_tile=tri_tile,
-            want_matrix=want_matrix,
-            want_any=want_any,
-            tile_active=tiles_on,
+        return _trace_and_reduce_block(
+            scene, tb, geom, cp[itr], ray_idx < n_rays_once,
+            m_any, m_mat, tiles_on,
+            tri_tile=tri_tile, want_matrix=want_matrix, want_any=want_any,
+            discrete=discrete, n_surf=n_surf,
         )
-
-        out: Dict[str, jnp.ndarray] = {}
-        if want_matrix:
-            counts_f, counts_b = _matrix_histogram(best_code, n_surf)
-            out["counts_f"] = counts_f
-            out["counts_b"] = counts_b
-        if want_any:
-            miss = ~any_hit & ray_valid
-            if discrete:
-                out["sky_bins"] = _sky_histogram(d, miss)
-            else:
-                out["upward"] = jnp.sum(
-                    miss & (d[:, 2] > 0.0), dtype=jnp.int32
-                )
-        return out
 
     stacked = jax.lax.map(run_block, block_ids)
     # (n_blocks, ...) -> (chunk, blocks_per_iter, ...) -> per-iteration sums
@@ -376,12 +397,12 @@ def scheduled_trace(
     tables_flat: Tuple,  # 7 x (N_flat,) concatenated per-emitter tables
     geom_stacked: Tuple,  # 8 x (E, Fmax[, 3]) padded per-emitter geometry
     cp: jnp.ndarray,  # (R, 7) CP rows, indexed by the schedule
-    surf_active_ext: jnp.ndarray,  # (E, S+1)
+    surf_active_ext: jnp.ndarray,  # (E, S+1) — E may be a compacted subset
     emit_sid: jnp.ndarray,  # (E,)
     min_sid: jnp.ndarray,  # (E,)
     n_rays_once: jnp.ndarray,  # (E,)
     plane_vec: jnp.ndarray,  # (E, 8)
-    schedule: jnp.ndarray,  # (nb, 4) i32: [emitter, cp_row, table_off, ray_base]
+    schedule: jnp.ndarray,  # (nb, 4) i32: [emitter_row, cp_row, table_off, ray_base]
     *,
     ray_block: int,
     tri_tile: int,
@@ -400,29 +421,25 @@ def scheduled_trace(
     keep ``nb`` in a small set of compiled sizes) are simply ignored by the
     host aggregation.
     """
-    sid = scene[7]
     n_emit = surf_active_ext.shape[0]
     n_surf = surf_active_ext.shape[1] - 1
-    nb = schedule.shape[0]
 
-    # per-emitter triangle masks and tile activity, computed once
+    # Per-emitter triangle masks and tile activity for the (compacted) set
+    # of emitters this schedule references. Callers pass per-round stacks,
+    # so late rounds with a few stragglers don't pay full-scene mask work.
     def emitter_masks(e):
-        return compute_masks(
+        m_any, m_mat = compute_masks(
             scene, surf_active_ext[e], emit_sid[e], min_sid[e], plane_vec[e]
         )
+        relevant = m_any if want_any else m_mat
+        return m_any, m_mat, tile_activity(relevant, tri_tile)
 
-    m_any_all, m_mat_all = jax.vmap(emitter_masks)(
+    m_any_all, m_mat_all, tiles_on_all = jax.vmap(emitter_masks)(
         jnp.arange(n_emit, dtype=jnp.int32)
     )
-    relevant = m_any_all if want_any else m_mat_all
-    n_tiles = sid.shape[0] // tri_tile
-    tiles_on_all = jnp.any(
-        relevant.reshape(n_emit, n_tiles, tri_tile), axis=2
-    ).astype(jnp.int32)
 
     def run_block(block_row):
         e = block_row[0]
-        cp_row = cp[block_row[1]]
         off = block_row[2]
         tb = tuple(
             jax.lax.dynamic_slice_in_dim(t, off, ray_block, axis=0)
@@ -432,35 +449,13 @@ def scheduled_trace(
             jax.lax.dynamic_index_in_dim(g, e, axis=0, keepdims=False)
             for g in geom_stacked
         )
-        o, d = generate_rays(tb, geom_e, cp_row)
         ray_idx = block_row[3] + jnp.arange(ray_block, dtype=jnp.int32)
-        ray_valid = ray_idx < n_rays_once[e]
-
-        best_code, any_hit = _sweep_tiles(
-            o,
-            d,
-            ray_valid,
-            scene,
-            m_any_all[e],
-            m_mat_all[e],
-            tri_tile=tri_tile,
-            want_matrix=want_matrix,
-            want_any=want_any,
-            tile_active=tiles_on_all[e],
+        return _trace_and_reduce_block(
+            scene, tb, geom_e, cp[block_row[1]], ray_idx < n_rays_once[e],
+            m_any_all[e], m_mat_all[e], tiles_on_all[e],
+            tri_tile=tri_tile, want_matrix=want_matrix, want_any=want_any,
+            discrete=discrete, n_surf=n_surf,
         )
-
-        out: Dict[str, jnp.ndarray] = {}
-        if want_matrix:
-            counts_f, counts_b = _matrix_histogram(best_code, n_surf)
-            out["counts_f"] = counts_f
-            out["counts_b"] = counts_b
-        if want_any:
-            miss = ~any_hit & ray_valid
-            if discrete:
-                out["sky_bins"] = _sky_histogram(d, miss)
-            else:
-                out["upward"] = jnp.sum(miss & (d[:, 2] > 0.0), dtype=jnp.int32)
-        return out
 
     return jax.lax.map(run_block, schedule)
 

@@ -501,6 +501,30 @@ def pack_emitter(
     )
 
 
+class LazyEmitterPack:
+    """Deferred EmitterPack: scalars (ray counts, plane vector) are available
+    immediately; the heavyweight per-ray device tables materialize only if a
+    per-emitter dispatch actually touches them.
+
+    The scheduled solver reads rays from the scene-wide flat tables, so with
+    this wrapper it never holds a second device copy of every emitter's
+    padded ray tables (which would double HBM for exactly the many-emitter
+    scenes the scheduler targets).
+    """
+
+    def __init__(self, factory, *, n_rays_once: int, n_rays_pad: int, plane_vec):
+        self._factory = factory
+        self._pack: Optional[EmitterPack] = None
+        self.n_rays_once = n_rays_once
+        self.n_rays_pad = n_rays_pad
+        self.plane_vec = plane_vec
+
+    def __getattr__(self, name):
+        if self._pack is None:
+            self._pack = self._factory()
+        return getattr(self._pack, name)
+
+
 # ---------------------------------------------------------------------------
 # PreparedSolver cache
 # ---------------------------------------------------------------------------

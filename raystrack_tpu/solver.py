@@ -419,6 +419,48 @@ def _entry_done(entry) -> None:
         callback(entry)
 
 
+def _make_emitter_pack(prepared_solver, idx_emit, p, flip_faces, align,
+                       pack_dev, ray_dev, *, lazy: bool):
+    """EmitterPack for one emitter; lazy when the scheduled driver will read
+    rays from the scene-wide flat tables instead."""
+    def factory():
+        return prepared_solver.get_emitter_pack(
+            idx_emit, samples=p["samples"], rays=p["rays"],
+            flip_faces=flip_faces, align=align,
+            device=pack_dev, ray_device=ray_dev,
+        )
+
+    if not lazy:
+        return factory()
+
+    import jax
+
+    from .prepared import LazyEmitterPack, _pad_rays
+
+    emitter = prepared_solver.get_emitter(
+        idx_emit, samples=p["samples"], rays=p["rays"], flip_faces=flip_faces
+    )
+    n_once = emitter.n_cells * p["rays"]
+    plane_vec = jax.device_put(
+        np.concatenate(
+            [
+                emitter.plane_origin.astype(np.float32),
+                emitter.plane_normal.astype(np.float32),
+                np.float32(
+                    [emitter.plane_tol, 1.0 if emitter.plane_is_planar else 0.0]
+                ),
+            ]
+        ),
+        pack_dev,
+    )
+    return LazyEmitterPack(
+        factory,
+        n_rays_once=n_once,
+        n_rays_pad=_pad_rays(n_once, align),
+        plane_vec=plane_vec,
+    )
+
+
 def _pow2_at_least(n: int, lo: int = 128) -> int:
     size = lo
     while size < n:
@@ -443,30 +485,13 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
 
     from .ops.trace import scheduled_trace
 
+    import jax
+
     tables_flat, geom_stacked, offsets, n_pad = prepared_solver.get_flat_tables(
         samples=p["samples"], rays=p["rays"], flip_faces=flip_faces,
         align=align, device=pack_dev,
     )
     n_surf = n_meshes
-    surf_b = np.zeros((n_meshes, n_surf + 1), dtype=np.int32)
-    emit_b = np.zeros(n_meshes, dtype=np.int32)
-    min_b = np.zeros(n_meshes, dtype=np.int32)
-    once_b = np.zeros(n_meshes, dtype=np.int32)
-    plane_b = np.zeros((n_meshes, 8), dtype=np.float32)
-    for entry in entries:
-        e = entry["idx"]
-        surf_b[e, :-1] = entry["surf_active"]
-        emit_b[e] = entry["emit_sid"]
-        min_b[e] = entry["min_sid"]
-        once_b[e] = entry["run"].em_pack.n_rays_once
-        plane_b[e] = np.asarray(entry["run"].em_pack.plane_vec)
-    import jax
-
-    surf_b = jax.device_put(surf_b, pack_dev)
-    emit_b = jax.device_put(emit_b, pack_dev)
-    min_b = jax.device_put(min_b, pack_dev)
-    once_b = jax.device_put(once_b, pack_dev)
-    plane_b = jax.device_put(plane_b, pack_dev)
 
     scene_t = (
         scene_pack.v0, scene_pack.e1, scene_pack.e2, scene_pack.cross_e,
@@ -479,6 +504,7 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
         rows: List[List[int]] = []
         cp_list: List[np.ndarray] = []
         plan: List[Tuple] = []  # (entry, start_row, bpi, n_iters)
+        round_rows: Dict[int, int] = {}  # global emitter idx -> local row
         for entry in pending:
             mon = entry["monitor"]
             run = entry["run"]
@@ -498,13 +524,16 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
             )
             if chunk <= 0:
                 continue
+            local_e = round_rows.setdefault(e, len(round_rows))
             start_row = len(rows)
             for c in range(chunk):
                 cp_idx = len(cp_list)
                 cp_list.append(_cp_rows(run.seed, run.idx_emit, run.itr_next + c, 1)[0])
                 base_off = int(offsets[e])
                 for b in range(bpi):
-                    rows.append([e, cp_idx, base_off + b * RAY_BLOCK, b * RAY_BLOCK])
+                    rows.append(
+                        [local_e, cp_idx, base_off + b * RAY_BLOCK, b * RAY_BLOCK]
+                    )
             run.itr_next += chunk
             plan.append((entry, start_row, bpi, chunk))
             if len(rows) >= max_blocks:
@@ -515,6 +544,26 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
                 _entry_done(entry)
             break
 
+        # compacted, pow2-padded per-round emitter stacks: scheduled_trace
+        # only computes masks for emitters this round references
+        by_entry = {entry["idx"]: entry for entry, *_ in plan}
+        n_round = _pow2_at_least(len(round_rows), lo=1)
+        surf_b = np.zeros((n_round, n_surf + 1), dtype=np.int32)
+        emit_b = np.zeros(n_round, dtype=np.int32)
+        min_b = np.zeros(n_round, dtype=np.int32)
+        once_b = np.zeros(n_round, dtype=np.int32)
+        plane_b = np.zeros((n_round, 8), dtype=np.float32)
+        sel = np.zeros(n_round, dtype=np.int32)
+        for e, local_e in round_rows.items():
+            entry = by_entry[e]
+            sel[local_e] = e
+            surf_b[local_e, :-1] = entry["surf_active"]
+            emit_b[local_e] = entry["emit_sid"]
+            min_b[local_e] = entry["min_sid"]
+            once_b[local_e] = entry["run"].em_pack.n_rays_once
+            plane_b[local_e] = np.asarray(entry["run"].em_pack.plane_vec)
+        geom_round = jax.tree.map(lambda g: g[jnp.asarray(sel)], geom_stacked)
+
         nb = _pow2_at_least(len(rows))
         n_cp = _pow2_at_least(len(cp_list), lo=8)
         schedule = np.zeros((nb, 4), dtype=np.int32)
@@ -524,8 +573,9 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
         cp[: len(cp_list)] = np.stack(cp_list)
 
         out = scheduled_trace(
-            scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
-            surf_b, emit_b, min_b, once_b, plane_b,
+            scene_t, tables_flat, geom_round, jnp.asarray(cp),
+            jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
+            jnp.asarray(once_b), jnp.asarray(plane_b),
             jnp.asarray(schedule),
             ray_block=RAY_BLOCK,
             tri_tile=scene_pack.tri_tile,
@@ -905,6 +955,9 @@ def view_factor_matrix(
     reciprocity = bool(p["reciprocity"])
     flip_faces = bool(p["flip_faces"])
 
+    from .config import SCHEDULER
+
+    use_scheduler = SCHEDULER == "scheduled"
     result: VFDict = {name: {} for name, _, _ in meshes}
     stats_result: VFDict = {}
     profiler = _maybe_profiler()
@@ -950,9 +1003,9 @@ def view_factor_matrix(
             continue
 
         emit_sid, min_sid = _matrix_skip(idx_emit, reciprocity)
-        em_pack = prepared_solver.get_emitter_pack(
-            idx_emit, samples=p["samples"], rays=p["rays"],
-            flip_faces=flip_faces, align=align, device=pack_dev, ray_device=ray_dev,
+        em_pack = _make_emitter_pack(
+            prepared_solver, idx_emit, p, flip_faces, align, pack_dev, ray_dev,
+            lazy=(kernel == "xla" and mesh is None and use_scheduler),
         )
         run = _EmitterRun(
             scene_pack, em_pack, surf_active, emit_sid, min_sid,
@@ -1014,9 +1067,7 @@ def view_factor_matrix(
     # Pallas-swept scenes, device-mesh solves)
     with profiler("matrix_solve"):
         if kernel == "xla" and mesh is None and len(entries) > 1:
-            from .config import SCHEDULER
-
-            if SCHEDULER == "scheduled":
+            if use_scheduler:
                 _drive_matrix_scheduled(
                     entries, prepared_solver, p, flip_faces, align,
                     scene_pack, pack_dev, n_surf,

@@ -291,3 +291,20 @@ def test_forced_pallas_kernel_on_cpu(monkeypatch):
     monkeypatch.setattr(config, "KERNEL", "pallas")
     forced = view_factor_matrix(meshes, params=params)
     assert forced == base
+
+
+def test_scheduled_mode_matches_default(monkeypatch):
+    """RAYSTRACK_TPU_SCHEDULER=scheduled drives the whole-scene block
+    scheduler end-to-end and must reproduce the default driver exactly."""
+    import raystrack_tpu.config as config
+
+    meshes = [
+        _square("ground", 2.0, 0.0, normal=+1),
+        _square("mid", 1.5, 0.6, normal=-1, center=(0.4, 0.1)),
+        _square("top", 3.0, 1.2, normal=-1),
+    ]
+    params = _params(max_iters=7, min_iters=3, reciprocity=True)
+    base = view_factor_matrix(meshes, params=params)
+    monkeypatch.setattr(config, "SCHEDULER", "scheduled")
+    scheduled = view_factor_matrix(meshes, params=params)
+    assert scheduled == base
