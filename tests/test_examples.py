@@ -1,0 +1,62 @@
+"""Smoke guards for the examples: importable, geometry builders sane.
+
+Full example runs happen on real hardware; these tests only pin the cheap
+deterministic parts so refactors can't silently break the walkthroughs.
+"""
+import importlib
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+EXAMPLES = [
+    "examples.ex00_street_canyon_geometry",
+    "examples.ex01_compute_vf",
+    "examples.ex02_compare_sky_vf",
+    "examples.ex03_workflow",
+    "examples.ex04_inside_enclosure",
+    "examples.ex05_prepared_seed_compare",
+    "examples.ex06_city_block",
+]
+
+
+def test_examples_import():
+    for name in EXAMPLES:
+        assert importlib.import_module(name) is not None
+
+
+def test_canyon_builder_geometry():
+    mod = importlib.import_module("examples.ex00_street_canyon_geometry")
+    meshes = mod.build_street_canyon()
+    names = [m[0] for m in meshes]
+    assert len(meshes) == 11 and names[-1] == "road"
+    # facades 8 m apart, road spans the gap, panels 10 x 4
+    for name, V, F in meshes:
+        assert V.dtype == np.float32 and F.dtype == np.int32
+        n = np.cross(V[F[0, 1]] - V[F[0, 0]], V[F[0, 2]] - V[F[0, 0]])
+        if name.startswith("east"):
+            assert n[0] > 0  # faces +X into the canyon
+        elif name.startswith("west"):
+            assert n[0] < 0
+        else:
+            assert n[2] > 0  # road faces up
+
+
+def test_cube_builder_closed_outward():
+    mod = importlib.import_module("examples.ex04_inside_enclosure")
+    meshes = mod.make_box_unit_cube()
+    assert len(meshes) == 6
+    center = np.array([0.5, 0.5, 0.5])
+    for name, V, F in meshes:
+        face_center = V.mean(axis=0)
+        n = np.cross(V[F[0, 1]] - V[F[0, 0]], V[F[0, 2]] - V[F[0, 0]])
+        assert np.dot(n, face_center - center) > 0  # outward
+
+
+def test_city_builder():
+    mod = importlib.import_module("examples.ex06_city_block")
+    meshes = mod.build_city(grid=3)
+    assert len(meshes) == 3 * 3 * 5 + 1
+    assert meshes[-1][0] == "ground"
