@@ -109,8 +109,14 @@ def main():
     tests_per_sec = tests / best
     rays_per_sec = CHUNK * em.n_rays_pad / best
 
-    # secondary: canyon solve wall clock (warm) + analytical error
-    canyon_s, max_df = _canyon_secondary()
+    # secondary: canyon solve wall clock (warm) + analytical error.
+    # Best-effort: the headline JSON line must print even if the secondary
+    # solves hit a cold compilation cache or a transient device error.
+    try:
+        canyon_s, max_df = _canyon_secondary()
+    except Exception as exc:  # pragma: no cover - environment dependent
+        print(f"# canyon secondary skipped: {type(exc).__name__}: {exc}")
+        canyon_s, max_df = None, None
 
     print(
         json.dumps(
