@@ -1118,8 +1118,15 @@ def view_factor_to_tregenza_sky(
     *,
     prepared: Optional[PreparedSolver] = None,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> VFDict:
-    """Sky view factor per emitter: merged 'Sky' or 145 Tregenza patches."""
+    """Sky view factor per emitter: merged 'Sky' or 145 Tregenza patches.
+
+    ``checkpoint_dir`` makes long solves resumable exactly like
+    :func:`view_factor_matrix`: each emitter's converged sky row is written
+    atomically after it finishes, keyed by a fingerprint of the solve
+    configuration and geometry.
+    """
     if not isinstance(params, SkyParams):
         raise TypeError("params must be a SkyParams instance")
     if len(meshes) == 0:
@@ -1144,11 +1151,21 @@ def view_factor_to_tregenza_sky(
         [f"Sky_Patch_{i}" for i in range(1, 146)] if discrete else ["Sky"]
     )
     result: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
+    store = _CheckpointStore(checkpoint_dir, p, meshes) if checkpoint_dir else None
 
     n_surf = len(meshes)
     entries: List[Dict] = []
     if n_surf > 1:
         for idx_emit, (name_e, _, _) in enumerate(meshes):
+            if store is not None:
+                saved = store.load(idx_emit)
+                if saved is not None:
+                    result[name_e].update(saved["row"])
+                    _emit_log(
+                        f"({idx_emit + 1}/{n_surf}) [{name_e}] restored from "
+                        f"checkpoint"
+                    )
+                    continue
             emitter = emitters[idx_emit]
             surf_active = _build_emitter_surface_mask(
                 idx_emit, emitter, bounds_center, bounds_extent
@@ -1171,9 +1188,23 @@ def view_factor_to_tregenza_sky(
             )
             entries.append(dict(run=run, monitor=monitor, idx=idx_emit, name=name_e))
 
+    def _sky_row(monitor) -> Dict[str, float]:
+        total = float(max(1, monitor.total_rays))
+        if discrete:
+            frac = monitor.counts_total.astype(np.float64) / total
+            return {f"Sky_Patch_{i + 1}": float(frac[i]) for i in range(145)}
+        return {"Sky": float(monitor.upward_total / total)}
+
+    def _save_sky(entry) -> None:
+        row = _sky_row(entry["monitor"])
+        entry["row"] = row
+        if store is not None:
+            store.save(entry["idx"], entry["name"], row, {}, {})
+
     t_solve = time.time()
     for entry in entries:
         entry["started"] = t_solve
+        entry["on_done"] = _save_sky
     if kernel == "xla" and mesh is None and len(entries) > 1:
         _drive_sky_grouped(entries, discrete=discrete)
     _drive_sky_pipelined(entries, discrete=discrete)
@@ -1181,14 +1212,7 @@ def view_factor_to_tregenza_sky(
 
     for entry in entries:
         idx_emit, name_e, monitor = entry["idx"], entry["name"], entry["monitor"]
-        total = float(max(1, monitor.total_rays))
-        if discrete:
-            frac = monitor.counts_total.astype(np.float64) / total
-            result[name_e].update(
-                {f"Sky_Patch_{i + 1}": float(frac[i]) for i in range(145)}
-            )
-        else:
-            result[name_e]["Sky"] = float(monitor.upward_total / total)
+        result[name_e].update(entry["row"])
 
         _emit_log(
             _progress_line(

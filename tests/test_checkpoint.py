@@ -114,3 +114,20 @@ def test_checkpoints_written_before_assembly(tmp_path, monkeypatch):
     monkeypatch.undo()
     resumed = view_factor_matrix(MESHES, params=params, checkpoint_dir=str(ckpt))
     assert resumed == view_factor_matrix(MESHES, params=params)
+
+
+def test_sky_checkpoint_resume(tmp_path, monkeypatch):
+    from raystrack_tpu import SkyParams, view_factor_to_tregenza_sky
+
+    sp = SkyParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                   max_iters=5, min_iters=2, tol=1e-3)
+    ckpt = str(tmp_path / "sky_ckpt")
+    plain = view_factor_to_tregenza_sky(MESHES, params=sp)
+    first = view_factor_to_tregenza_sky(MESHES, params=sp, checkpoint_dir=ckpt)
+    assert first == plain
+
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    second = view_factor_to_tregenza_sky(MESHES, params=sp, checkpoint_dir=ckpt)
+    assert second == plain
+    assert all("restored from checkpoint" in l for l in lines)
