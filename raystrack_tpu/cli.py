@@ -88,6 +88,8 @@ def main(argv: List[str] | None = None) -> int:
     p_sky.add_argument("--out", default="sky_vf.json")
     p_sky.add_argument("--discrete", action="store_true",
                        help="145 Tregenza patches instead of merged Sky")
+    p_sky.add_argument("--checkpoint-dir", default=None,
+                       help="resumable per-emitter checkpoints")
 
     p_flow = sub.add_parser("workflow",
                             help="outside workflow: scene + sky + rest = 1")
@@ -124,7 +126,9 @@ def main(argv: List[str] | None = None) -> int:
                 "two meshes (reference behavior); output will be zeros. "
                 "Use 'workflow' for an unobstructed-sky estimate."
             )
-        sky = view_factor_to_tregenza_sky(meshes, params=_sky_params(args))
+        sky = view_factor_to_tregenza_sky(
+            meshes, params=_sky_params(args), checkpoint_dir=args.checkpoint_dir
+        )
         path = save_vf_matrix_json(sky, args.out)
         print(f"Wrote {path}")
     else:
