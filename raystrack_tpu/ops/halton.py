@@ -12,8 +12,10 @@ that the device solve step consumes.
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache
-from typing import Tuple
+from pathlib import Path
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -31,11 +33,46 @@ def radical_inverse(indices: np.ndarray, base: int) -> np.ndarray:
     return result
 
 
+def _table_cache_dir() -> Optional[Path]:
+    """Optional on-disk cache for large tables (RAYSTRACK_TPU_TABLE_CACHE).
+
+    Very large emitters need tens of millions of Halton entries per
+    dimension; the digit-parallel build still costs minutes of single-core
+    host time per process. Pointing this env var at a directory memoizes
+    the tables across processes.
+    """
+    raw = os.environ.get("RAYSTRACK_TPU_TABLE_CACHE")
+    if not raw:
+        return None
+    path = Path(raw)
+    path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+# tables below this length build in well under a second; don't touch disk
+_DISK_CACHE_MIN_LENGTH = 4_000_000
+
+
 def _halton_dim(length: int, base: int) -> np.ndarray:
     """First ``length`` Halton values in ``base`` (indices 1..length), f32."""
-    return radical_inverse(np.arange(1, length + 1, dtype=np.int64), base).astype(
+    cache_dir = _table_cache_dir() if length >= _DISK_CACHE_MIN_LENGTH else None
+    if cache_dir is not None:
+        path = cache_dir / f"halton_b{base}_n{length}.npy"
+        if path.exists():
+            try:
+                arr = np.load(path)
+                if arr.shape == (length,) and arr.dtype == np.float32:
+                    return arr
+            except Exception:
+                pass
+    arr = radical_inverse(np.arange(1, length + 1, dtype=np.int64), base).astype(
         np.float32
     )
+    if cache_dir is not None:
+        tmp = path.with_suffix(".tmp.npy")
+        np.save(tmp, arr)
+        tmp.replace(path)
+    return arr
 
 
 @lru_cache(maxsize=128)

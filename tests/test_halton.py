@@ -46,3 +46,20 @@ def test_dims_bases_and_start_index():
 def test_caching_identity():
     assert cached_halton(6) is cached_halton(6)
     assert cached_halton_dims(128) is cached_halton_dims(128)
+
+
+def test_disk_table_cache(tmp_path, monkeypatch):
+    """RAYSTRACK_TPU_TABLE_CACHE memoizes big tables across processes."""
+    import raystrack_tpu.ops.halton as halton_mod
+
+    monkeypatch.setenv("RAYSTRACK_TPU_TABLE_CACHE", str(tmp_path))
+    monkeypatch.setattr(halton_mod, "_DISK_CACHE_MIN_LENGTH", 100)
+    a = halton_mod._halton_dim(500, 7)
+    files = list(tmp_path.glob("halton_b7_n500.npy"))
+    assert len(files) == 1
+    b = halton_mod._halton_dim(500, 7)  # served from disk
+    np.testing.assert_array_equal(a, b)
+    # corrupted cache entries fall back to a rebuild
+    files[0].write_bytes(b"garbage")
+    c = halton_mod._halton_dim(500, 7)
+    np.testing.assert_array_equal(a, c)
