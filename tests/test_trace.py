@@ -428,3 +428,76 @@ def test_scheduled_trace_matches_chunk_body():
         np.testing.assert_array_equal(sched[key][:bpi0].sum(0), ref0[key][0])
         np.testing.assert_array_equal(sched[key][bpi0:2 * bpi0].sum(0), ref0[key][1])
         np.testing.assert_array_equal(sched[key][2 * bpi0:].sum(0), ref2[key][0])
+
+
+def test_vertical_and_flipped_emitters_against_oracle():
+    """Raygen + trace for a vertical (x-normal) emitter and a flip_faces
+    emitter, checked against float64 brute force."""
+    wall_V = np.array(
+        [[0, -1, 0], [0, 1, 0], [0, 1, 2], [0, -1, 2]], dtype=np.float32
+    )
+    wall_F = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)  # +X normal
+    meshes = [
+        ("wall", wall_V, wall_F),
+        _square("floor", 6.0, 0.0, normal=+1, center=(2.0, 0.0)),
+        _square("lid", 6.0, 3.0, normal=-1, center=(2.0, 0.0)),
+    ]
+    for flip in (False, True):
+        ps = PreparedSolver(meshes)
+        em = ps.get_emitter_pack(0, samples=8, rays=64, flip_faces=flip)
+        emitter = ps.get_emitter(0, samples=8, rays=64, flip_faces=flip)
+        scene_pk = ps.get_scene_pack()
+        scene = ps.get_scene()
+        ext = np.array([0, 1, 1, 0], np.int32)
+        cp = _cp_rows(7, 0, 0, 1)
+        out = trace_chunk(
+            (scene_pk.v0, scene_pk.e1, scene_pk.e2, scene_pk.cross_e,
+             scene_pk.w_u, scene_pk.w_v, scene_pk.d0, scene_pk.sid),
+            (em.u_cell, em.v_cell, em.h_tri, em.h_u, em.h_v, em.h_r1, em.h_r2),
+            (em.cdf, em.tri_a, em.tri_e1, em.tri_e2, em.tri_u, em.tri_v,
+             em.tri_n, em.tri_eps),
+            jnp.asarray(cp), jnp.asarray(ext),
+            jnp.int32(0), jnp.int32(0), jnp.int32(em.n_rays_once),
+            ray_block=RAY_BLOCK, tri_tile=scene_pk.tri_tile,
+            want_matrix=True, want_any=False, discrete=False,
+        )
+        got_f = np.asarray(out["counts_f"])[0]
+        got_b = np.asarray(out["counts_b"])[0]
+
+        # float64 oracle: rays from the emitter tables, brute-force MT
+        tables = (em.u_cell, em.v_cell, em.h_tri, em.h_u, em.h_v, em.h_r1, em.h_r2)
+        geom = (em.cdf, em.tri_a, em.tri_e1, em.tri_e2, em.tri_u, em.tri_v,
+                em.tri_n, em.tri_eps)
+        o, d = generate_rays(tables, geom, jnp.asarray(cp[0]))
+        o = np.asarray(o, np.float64)[: em.n_rays_once]
+        d = np.asarray(d, np.float64)[: em.n_rays_once]
+        # flip flips emission direction: rays must go -X instead of +X
+        assert (d[:, 0] < 0).mean() > 0.99 if flip else (d[:, 0] > 0).mean() > 0.99
+
+        best_t = np.full(len(o), np.inf)
+        hit_sid = np.full(len(o), -1)
+        front = np.zeros(len(o), bool)
+        for i in range(scene.v0.shape[0]):
+            if scene.sid[i] == 0:
+                continue
+            e1 = scene.e1[i].astype(np.float64)
+            e2 = scene.e2[i].astype(np.float64)
+            v0 = scene.v0[i].astype(np.float64)
+            p = np.cross(d, e2)
+            det = (p * e1).sum(1)
+            ok = np.abs(det) >= 1e-7
+            inv = np.where(ok, 1 / np.where(det == 0, 1, det), 0.0)
+            t_ = o - v0
+            u = (t_ * p).sum(1) * inv
+            q = np.cross(t_, e1)
+            v = (d * q).sum(1) * inv
+            tt = (q @ e2) * inv
+            ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (tt > 1e-6) & (tt < best_t)
+            best_t = np.where(ok, tt, best_t)
+            hit_sid = np.where(ok, scene.sid[i], hit_sid)
+            front = np.where(ok, -(d * scene.normals[i]).sum(1) > 0, front)
+
+        tol = max(3, int(0.003 * em.n_rays_once))
+        for sid in (1, 2):
+            assert abs(got_f[sid] - int(((hit_sid == sid) & front).sum())) <= tol
+            assert abs(got_b[sid] - int(((hit_sid == sid) & ~front).sum())) <= tol
