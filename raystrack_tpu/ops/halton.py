@@ -69,7 +69,9 @@ def _halton_dim(length: int, base: int) -> np.ndarray:
         np.float32
     )
     if cache_dir is not None:
-        tmp = path.with_suffix(".tmp.npy")
+        # per-process tmp name: concurrent builders of the same table must
+        # not interleave writes into one tmp file before the atomic publish
+        tmp = path.with_suffix(f".{os.getpid()}.tmp.npy")
         np.save(tmp, arr)
         tmp.replace(path)
     return arr

@@ -369,7 +369,12 @@ def _drive_grouped(entries, *, want_matrix: bool, want_any: bool,
 
         while True:
             monitors = [m["monitor"] for m in members]
-            if any(mon.done for mon in monitors):
+            active = [mon for mon in monitors if not mon.done]
+            # The batch shape is fixed, so converged members' lanes trace
+            # wasted rays. Batched dispatches stay cheaper than per-emitter
+            # ones until fewer than half the group is still active; then the
+            # pipelined driver takes the stragglers.
+            if len(active) <= len(members) // 2:
                 break
             chunk = max(
                 plan_chunk(
@@ -380,7 +385,7 @@ def _drive_grouped(entries, *, want_matrix: bool, want_any: bool,
                     rays_per_iter=members[0]["run"].em_pack.n_rays_pad,
                     projected_total=mon.projected_total(),
                 )
-                for mon in monitors
+                for mon in active
             )
             if chunk <= 0:
                 break
@@ -909,7 +914,11 @@ class _CheckpointStore:
             "backfill": backfill,
             "stats": stats,
         }
-        tmp = self._path(idx).with_suffix(".tmp")
+        import os
+
+        # per-process tmp name: two resuming solves sharing a checkpoint dir
+        # must not interleave writes before the atomic publish
+        tmp = self._path(idx).with_suffix(f".{os.getpid()}.tmp")
         tmp.write_text(self._json.dumps(payload, sort_keys=True), encoding="utf-8")
         tmp.replace(self._path(idx))
 
@@ -973,6 +982,7 @@ def view_factor_matrix(
     align = _ray_align(mesh)
 
     n_surf = len(meshes)
+    n_restored = 0
     # Phase 1: restore checkpoints / skip empty emitters, build the work list
     entries: List[Dict] = []
     for idx_emit, (name_e, _, _) in enumerate(meshes):
@@ -983,6 +993,7 @@ def view_factor_matrix(
                 for other, back_entries in saved.get("backfill", {}).items():
                     result[other].update(back_entries)
                 stats_result[name_e] = saved.get("stats", {})
+                n_restored += 1
                 _emit_log(
                     f"({idx_emit + 1}/{n_surf}) [{name_e}] restored from "
                     f"checkpoint ({len(saved['row'])} receivers)"
@@ -1090,6 +1101,11 @@ def view_factor_matrix(
                 monitor.total_rays, entry.get("elapsed", solve_s), use_bvh, device,
             )
         )
+    if n_restored:
+        _emit_log(
+            f"{n_restored}/{n_surf} emitters restored from checkpoint "
+            f"(not re-traced)"
+        )
 
     if p["enforce_reciprocity_rowsum"]:
         _enforce_reciprocity_and_rowsum(result, meshes, areas)
@@ -1154,6 +1170,7 @@ def view_factor_to_tregenza_sky(
     store = _CheckpointStore(checkpoint_dir, p, meshes) if checkpoint_dir else None
 
     n_surf = len(meshes)
+    n_restored = 0
     entries: List[Dict] = []
     if n_surf > 1:
         for idx_emit, (name_e, _, _) in enumerate(meshes):
@@ -1161,6 +1178,7 @@ def view_factor_to_tregenza_sky(
                 saved = store.load(idx_emit)
                 if saved is not None:
                     result[name_e].update(saved["row"])
+                    n_restored += 1
                     _emit_log(
                         f"({idx_emit + 1}/{n_surf}) [{name_e}] restored from "
                         f"checkpoint"
@@ -1219,6 +1237,11 @@ def view_factor_to_tregenza_sky(
                 idx_emit, n_surf, name_e, monitor.iters_done,
                 monitor.total_rays, entry.get("elapsed", solve_s), use_bvh, device,
             )
+        )
+    if n_restored:
+        _emit_log(
+            f"{n_restored}/{n_surf} emitters restored from checkpoint "
+            f"(not re-traced)"
         )
 
     return result

@@ -63,10 +63,12 @@ def test_checkpoint_partial_resume(tmp_path, monkeypatch):
     monkeypatch.setattr(solver_mod, "_log", lines.append)
     resumed = view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=str(ckpt))
     assert resumed == full
-    restored = [l for l in lines if "restored" in l]
+    restored = [l for l in lines if "] restored from checkpoint" in l]
     solved = [l for l in lines if re.search(r"\d+ iter,", l)]
     assert len(restored) == 2 and len(solved) == 1
     assert "[mid]" in solved[0]
+    # the final summary notes how many emitters were restored
+    assert any(l.startswith("2/3 emitters restored") for l in lines)
 
 
 def test_checkpoint_invalidated_by_config_change(tmp_path):
