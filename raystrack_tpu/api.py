@@ -56,6 +56,7 @@ def view_factor_outside_workflow(
     sky_params: SkyParams,
     prepared: Optional[PreparedSolver] = None,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> Tuple[VFDict, VFDict, VFDict]:
     """Compute scene VF matrix, sky VF and the residual fraction per emitter.
 
@@ -65,6 +66,12 @@ def view_factor_outside_workflow(
     (scene hits -> matrix, misses -> sky bins); otherwise the two solvers run
     separately. Sky totals are clamped so scene+sky never exceeds 1 beyond a
     1e-6 threshold, before and after optional reciprocity enforcement.
+
+    ``checkpoint_dir`` makes the solve resumable per emitter: the shared-ray
+    path checkpoints each emitter's matrix+sky outputs together; the
+    separate-solver fallback uses ``<dir>/matrix`` and ``<dir>/sky``.
+    Post-processing (clamping, enforcement, residuals) is cheap and re-runs
+    on every call.
     """
     if not isinstance(matrix_params, MatrixParams):
         raise TypeError("matrix_params must be a MatrixParams instance")
@@ -88,13 +95,22 @@ def view_factor_outside_workflow(
             sky_params=sky_params,
             prepared=prepared,
             mesh=mesh,
+            checkpoint_dir=checkpoint_dir,
         )
     else:
+        import os
+
         vf_scene = view_factor_matrix(
-            meshes, params=matrix_defaults, prepared=prepared, mesh=mesh
+            meshes, params=matrix_defaults, prepared=prepared, mesh=mesh,
+            checkpoint_dir=(
+                os.path.join(checkpoint_dir, "matrix") if checkpoint_dir else None
+            ),
         )
         sky_vf = view_factor_to_tregenza_sky(
-            meshes, params=sky_params, prepared=prepared, mesh=mesh
+            meshes, params=sky_params, prepared=prepared, mesh=mesh,
+            checkpoint_dir=(
+                os.path.join(checkpoint_dir, "sky") if checkpoint_dir else None
+            ),
         )
 
     mesh_names = [name for name, _, _ in meshes]

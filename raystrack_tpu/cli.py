@@ -98,6 +98,8 @@ def main(argv: List[str] | None = None) -> int:
     p_flow.add_argument("--discrete", action="store_true")
     p_flow.add_argument("--no-reciprocity", action="store_true")
     p_flow.add_argument("--enforce-rowsum", action="store_true")
+    p_flow.add_argument("--checkpoint-dir", default=None,
+                        help="resumable per-emitter checkpoints")
 
     args = parser.parse_args(argv)
     meshes = _load_meshes(args.meshes)
@@ -137,6 +139,7 @@ def main(argv: List[str] | None = None) -> int:
         scene, sky, rest = view_factor_outside_workflow(
             meshes, matrix_params=_matrix_params(args),
             sky_params=_sky_params(args),
+            checkpoint_dir=args.checkpoint_dir,
         )
         for label, data in (("vf_scene", scene), ("sky_vf", sky), ("rest_vf", rest)):
             path = save_vf_matrix_json(data, f"{args.out_prefix}{label}.json")

@@ -34,6 +34,11 @@ RAY_BUCKETING = _env_int("RAYSTRACK_TPU_RAY_BUCKETING", 1, minimum=0)
 # Maximum triangle-tile width of the trace sweep (lanes dimension).
 TRI_TILE = _env_int("RAYSTRACK_TPU_TRI_TILE", 512)
 
+# Finest granularity (triangles) of the acceleration AABBs built by
+# pack_scene. Sweep tile widths are always multiples of this, so a sweep at
+# any tile width derives its tile boxes by reducing the fine boxes.
+ACCEL_GRAIN = 128
+
 # Target rays per device dispatch; bounds how many MC iterations are fused
 # into one chunk (chunk = clamp(target / rays_per_iteration)).
 TARGET_CHUNK_RAYS = _env_int("RAYSTRACK_TPU_TARGET_CHUNK_RAYS", 4_194_304)
@@ -54,11 +59,14 @@ SPECULATION_PCT = _env_int("RAYSTRACK_TPU_SPECULATION_PCT", 25, minimum=0)
 KERNEL = os.environ.get("RAYSTRACK_TPU_KERNEL", "auto").lower()
 
 # Multi-emitter scheduler for XLA-swept scenes: "grouped" batches same-shape
-# emitters via vmap (default — lowest per-block overhead); "scheduled" packs
-# arbitrary (emitter, iteration) block schedules into one dispatch per
-# convergence round (wins when a scene has many distinct emitter shapes and
-# dispatch overhead dominates, at ~4x per-block gather overhead).
-SCHEDULER = os.environ.get("RAYSTRACK_TPU_SCHEDULER", "grouped").lower()
+# emitters via vmap (lowest per-block overhead); "scheduled" packs arbitrary
+# (emitter, iteration) block schedules into one dispatch per convergence
+# round (wins whenever per-dispatch overhead dominates — remote-tunnel TPU
+# dispatch costs ~100 ms, so a whole-scene round in one dispatch beats
+# per-emitter dispatches on every small scene); "auto" (default) picks
+# "scheduled" on accelerators and "grouped" on the CPU backend, where
+# dispatch is cheap and the vmap batch wins.
+SCHEDULER = os.environ.get("RAYSTRACK_TPU_SCHEDULER", "auto").lower()
 
 # Auto kernel choice uses the Pallas sweep only inside this triangle-count
 # window: below it the solve is not sweep-dominated (the XLA path fuses

@@ -140,6 +140,98 @@ def tile_activity(mask: jnp.ndarray, tri_tile: int) -> jnp.ndarray:
     return jnp.any(mask.reshape(n_tiles, tri_tile), axis=1).astype(jnp.int32)
 
 
+def plan_tiles(accel: Tuple, geom: Tuple, tri_tile: int):
+    """Sweep-granularity tile AABBs and a near-to-far visit order.
+
+    ``accel`` is the (tile_lo, tile_hi) pair at ACCEL_GRAIN granularity from
+    prepared.pack_scene; the sweep's (wider) tile boxes reduce from it.
+    Visit order sorts tiles by squared distance from the emitter's AABB
+    (derived from the emission triangles in ``geom``), so the running
+    nearest-hit distance shrinks early and far tiles get pruned — the flat
+    analogue of the reference BVH's near-child-first traversal
+    (reference: cpu_trace.py:224-250). The order is a heuristic only;
+    results are identical for any order.
+    """
+    from ..config import ACCEL_GRAIN
+
+    lo_g, hi_g = accel
+    per = tri_tile // ACCEL_GRAIN
+    n_tiles = lo_g.shape[0] // per
+    lo = jnp.min(lo_g.reshape(n_tiles, per, 3), axis=1)
+    hi = jnp.max(hi_g.reshape(n_tiles, per, 3), axis=1)
+
+    tri_a, tri_e1, tri_e2 = geom[1], geom[2], geom[3]
+    pts = jnp.concatenate([tri_a, tri_a + tri_e1, tri_a + tri_e2], axis=0)
+    e_lo = jnp.min(pts, axis=0)
+    e_hi = jnp.max(pts, axis=0)
+    gap = jnp.maximum(jnp.maximum(lo - e_hi[None, :], e_lo[None, :] - hi), 0.0)
+    dist = jnp.sum(gap * gap, axis=1)  # empty tiles overflow to +inf: last
+    order = jnp.argsort(dist).astype(jnp.int32)
+    return order, lo, hi
+
+
+def _morton3(q: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Interleave the low ``bits`` of (..., 3) int32 coords into one code."""
+    code = jnp.zeros(q.shape[:-1], dtype=jnp.int32)
+    for b in range(bits):
+        for axis in range(3):
+            code = code | (((q[..., axis] >> b) & 1) << (3 * b + axis))
+    return code
+
+
+def sort_rays_for_coherence(o, d, valid, *, scene_lo, scene_hi):
+    """Per-iteration coherence sort: permutation of rays by (direction,
+    origin) Morton key.
+
+    The per-surface/per-bin reductions are permutation-invariant, so rays may
+    be freely reordered inside an iteration. Sorting makes each ray *block* a
+    tight bundle (nearby origins, similar directions), which is what lets the
+    block-level AABB gate actually skip tiles: an incoherent block touches
+    every tile through some stray ray. This is the TPU-shaped counterpart of
+    wavefront ray reordering in GPU path tracers; the reference's BVH gets
+    its coherence per ray from the traversal stack instead
+    (reference: cpu_trace.py:173-274).
+
+    o, d, valid: (chunk, N, 3)/(chunk, N, 3)/(chunk, N). Returns permuted
+    (o, d, valid). Origin Morton bits are the sort's major key — a block
+    then covers a compact origin patch, so near geometry caps best_t for
+    every ray at once and escaping rays cross few tile boxes; direction
+    bits only break ties within a patch. (Direction-major sorting measures
+    far worse here: blocks with scattered origins touch every tile.)
+    """
+    dq = jnp.clip(((d + 1.0) * 0.5 * 7.9999), 0.0, 7.0).astype(jnp.int32)
+    span = jnp.maximum(scene_hi - scene_lo, 1e-12)
+    oq = jnp.clip(
+        (o - scene_lo) / span * 63.9999, 0.0, 63.0
+    ).astype(jnp.int32)
+    key = (_morton3(oq, 6) << 9) | _morton3(dq, 3)
+    perm = jnp.argsort(key, axis=1)
+    take = lambda a: jnp.take_along_axis(a, perm[..., None], axis=1)
+    return take(o), take(d), jnp.take_along_axis(valid, perm, axis=1)
+
+
+def _ray_box_interval(o, d_pos, d_zero, inv_d, lo, hi):
+    """Conservative slab test of a ray block against one AABB.
+
+    ``o``/``d_pos``/``d_zero``/``inv_d`` are (B, 3); ``lo``/``hi`` are (3,)
+    (or broadcastable). Returns (near_c, far_c): the ray-parameter interval
+    that could contain any hit inside the box, widened by a relative margin
+    so float rounding of the slab math can never exclude a true hit — the
+    pruning this feeds stays bitwise-exact. Misses come out with
+    far_c < near_c (empty boxes with lo > hi always miss).
+    """
+    t_near = (jnp.where(d_pos, lo, hi) - o) * inv_d
+    t_far = (jnp.where(d_pos, hi, lo) - o) * inv_d
+    inside = (o >= lo) & (o <= hi)
+    t_near = jnp.where(d_zero, jnp.where(inside, -INF, INF), t_near)
+    t_far = jnp.where(d_zero, jnp.where(inside, INF, -INF), t_far)
+    near = jnp.max(t_near, axis=-1)
+    far = jnp.min(t_far, axis=-1)
+    near_c = near - (jnp.abs(near) * 1e-4 + 1e-6)
+    far_c = far + (jnp.abs(far) * 1e-4 + 1e-6)
+    return near_c, far_c
+
+
 # ---------------------------------------------------------------------------
 # Tiled intersection sweep
 # ---------------------------------------------------------------------------
@@ -157,12 +249,23 @@ def _sweep_tiles(
     want_matrix: bool,
     want_any: bool,
     tile_active: jnp.ndarray | None = None,
+    tile_bounds: Tuple | None = None,
+    tile_order: jnp.ndarray | None = None,
 ):
     """All-pairs sweep of one ray block against all triangle tiles.
 
     Returns (best_code, any_hit): best_code packs the nearest matrix-eligible
     hit as sid*2 + front (or -1 for a miss); any_hit marks rays blocked by
     any sky-eligible surface.
+
+    With ``tile_bounds`` (per-tile AABB lo/hi from :func:`plan_tiles`), each
+    tile is gated by a conservative ray-interval test before its pair math
+    runs: a tile is skipped when no ray's box interval could beat its
+    running nearest hit (matrix) or block it anew (any-hit). Combined with
+    the near-to-far ``tile_order`` this is the dense-sweep equivalent of the
+    reference BVH's ``node_t >= best`` subtree pruning
+    (reference: cpu_trace.py:243-250), and it is exact: gating never changes
+    a result, only skips provably irrelevant work.
     """
     v0, e1, e2, cross_e, w_u, w_v, d0, sid = scene
     n_block = o.shape[0]
@@ -229,13 +332,40 @@ def _sweep_tiles(
 
         return best_t, best_code, any_hit
 
-    if tile_active is not None:
+    if tile_bounds is not None:
+        lo_all, hi_all = tile_bounds
+        d_zero = jnp.abs(d) <= 1e-30
+        inv_d = 1.0 / jnp.where(d_zero, 1.0, d)
+        d_pos = d >= 0.0
+
+    if tile_active is not None or tile_bounds is not None:
         inner_body = tile_body
 
         def tile_body(i, carry):  # noqa: F811 - conditional wrapper
+            needed = jnp.bool_(True)
+            if tile_active is not None:
+                needed = tile_active[i] > 0
+            if tile_bounds is not None:
+                best_t, _, any_hit = carry
+                near_c, far_c = _ray_box_interval(
+                    o, d_pos, d_zero, inv_d, lo_all[i][None, :], hi_all[i][None, :]
+                )
+                hit_box = (far_c >= near_c) & (far_c > 1e-6) & ray_valid
+                ray_need = jnp.zeros_like(hit_box)
+                if want_matrix:
+                    ray_need = hit_box & (near_c < best_t)
+                if want_any:
+                    ray_need = ray_need | (hit_box & ~any_hit)
+                needed = needed & jnp.any(ray_need)
             return jax.lax.cond(
-                tile_active[i] > 0, lambda c: inner_body(i, c), lambda c: c, carry
+                needed, lambda c: inner_body(i, c), lambda c: c, carry
             )
+
+    if tile_order is not None:
+        ordered_body = tile_body
+
+        def tile_body(j, carry):  # noqa: F811 - visit-order indirection
+            return ordered_body(tile_order[j], carry)
 
     # Derive the loop carry from the (possibly shard_map-varying) ray arrays
     # so its variance annotation matches the loop body's outputs.
@@ -295,6 +425,8 @@ def _trace_and_reduce_block(
     want_any: bool,
     discrete: bool,
     n_surf: int,
+    tile_bounds: Tuple | None = None,
+    tile_order: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Raygen + sweep + histograms for one ray block (shared by the chunked
     and scheduled solve steps)."""
@@ -310,6 +442,8 @@ def _trace_and_reduce_block(
         want_matrix=want_matrix,
         want_any=want_any,
         tile_active=tiles_on,
+        tile_bounds=tile_bounds,
+        tile_order=tile_order,
     )
     out: Dict[str, jnp.ndarray] = {}
     if want_matrix:
@@ -342,6 +476,7 @@ def chunk_body(
     discrete: bool,
     ray_index_base=0,
     plane_vec=None,
+    accel=None,
 ) -> Dict[str, jnp.ndarray]:
     """Trace ``chunk`` iterations over the local per-ray tables.
 
@@ -349,7 +484,8 @@ def chunk_body(
     multi-device solves, each device traces a disjoint ray-index slice,
     ``ray_index_base`` is its global offset, and the partial counts are
     psummed by the caller). Per-iteration ray counts are raw local counts;
-    normalization happens on host.
+    normalization happens on host. ``accel`` is the optional fine-grained
+    (tile_lo, tile_hi) AABB pair enabling distance-pruned tile gating.
     """
     chunk = cp.shape[0]
     n_local = tables[0].shape[0]
@@ -359,6 +495,11 @@ def chunk_body(
     m_any, m_mat = compute_masks(scene, surf_active_ext, emit_sid, min_sid, plane_vec)
     tiles_on = tile_activity(m_any if want_any else m_mat, tri_tile)
     n_surf = surf_active_ext.shape[0] - 1
+    if accel is not None:
+        tile_order, tile_lo, tile_hi = plan_tiles(accel, geom, tri_tile)
+        tile_bounds = (tile_lo, tile_hi)
+    else:
+        tile_order = tile_bounds = None
 
     block_ids = jnp.arange(n_blocks, dtype=jnp.int32)
 
@@ -375,6 +516,7 @@ def chunk_body(
             m_any, m_mat, tiles_on,
             tri_tile=tri_tile, want_matrix=want_matrix, want_any=want_any,
             discrete=discrete, n_surf=n_surf,
+            tile_bounds=tile_bounds, tile_order=tile_order,
         )
 
     stacked = jax.lax.map(run_block, block_ids)
@@ -403,6 +545,7 @@ def scheduled_trace(
     n_rays_once: jnp.ndarray,  # (E,)
     plane_vec: jnp.ndarray,  # (E, 8)
     schedule: jnp.ndarray,  # (nb, 4) i32: [emitter_row, cp_row, table_off, ray_base]
+    accel=None,  # optional (tile_lo, tile_hi) at ACCEL_GRAIN granularity
     *,
     ray_block: int,
     tri_tile: int,
@@ -437,6 +580,22 @@ def scheduled_trace(
     m_any_all, m_mat_all, tiles_on_all = jax.vmap(emitter_masks)(
         jnp.arange(n_emit, dtype=jnp.int32)
     )
+    if accel is not None:
+        # tile boxes are scene-wide; only the near-to-far order is
+        # per-emitter (stacked geometry is zero-padded, which can only
+        # loosen the emitter AABB — order is a heuristic, results exact)
+        def emitter_order(e):
+            geom_e = tuple(g[e] for g in geom_stacked[:4])
+            order, _, _ = plan_tiles(accel, geom_e, tri_tile)
+            return order
+
+        order_all = jax.vmap(emitter_order)(jnp.arange(n_emit, dtype=jnp.int32))
+        _, tile_lo, tile_hi = plan_tiles(
+            accel, tuple(g[0] for g in geom_stacked[:4]), tri_tile
+        )
+        tile_bounds = (tile_lo, tile_hi)
+    else:
+        order_all = tile_bounds = None
 
     def run_block(block_row):
         e = block_row[0]
@@ -455,6 +614,8 @@ def scheduled_trace(
             m_any_all[e], m_mat_all[e], tiles_on_all[e],
             tri_tile=tri_tile, want_matrix=want_matrix, want_any=want_any,
             discrete=discrete, n_surf=n_surf,
+            tile_bounds=tile_bounds,
+            tile_order=order_all[e] if order_all is not None else None,
         )
 
     return jax.lax.map(run_block, schedule)
@@ -477,6 +638,7 @@ def chunk_body_pallas(
     discrete: bool,
     ray_index_base=0,
     plane_vec=None,
+    accel=None,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Pallas-kernel variant of :func:`chunk_body`.
@@ -493,6 +655,20 @@ def chunk_body_pallas(
     n_surf = surf_active_ext.shape[0] - 1
 
     o, d = jax.vmap(generate_rays, in_axes=(None, None, 0))(tables, geom, cp)
+    ray_valid = jnp.broadcast_to(
+        (jnp.arange(n_local, dtype=jnp.int32) + ray_index_base < n_rays_once),
+        (chunk, n_local),
+    )
+    if accel is not None:
+        # Coherence sort (per iteration): the block-level AABB gate only
+        # fires when a whole block agrees a tile is irrelevant, which needs
+        # direction/origin-coherent blocks. Reductions are permutation-
+        # invariant, so this cannot change any count.
+        scene_lo = jnp.min(accel[0], axis=0)
+        scene_hi = jnp.max(accel[1], axis=0)
+        o, d, ray_valid = sort_rays_for_coherence(
+            o, d, ray_valid, scene_lo=scene_lo, scene_hi=scene_hi
+        )
     rays9 = jnp.concatenate([o, d, jnp.cross(o, d)], axis=-1).reshape(n_total, 9)
 
     m_any, m_mat = compute_masks(scene, surf_active_ext, emit_sid, min_sid, plane_vec)
@@ -506,12 +682,9 @@ def chunk_body_pallas(
         want_matrix=want_matrix,
         want_any=want_any,
         interpret=interpret,
+        accel=accel,
     )
 
-    idx_in_iter = (
-        jnp.arange(n_total, dtype=jnp.int32) % n_local + ray_index_base
-    )
-    ray_valid = (idx_in_iter < n_rays_once).reshape(chunk, n_local)
     codes = codes.reshape(chunk, n_local)
     any_hit = any_hit.reshape(chunk, n_local) > 0
 
@@ -564,6 +737,7 @@ def trace_chunk(
     min_sid: jnp.ndarray,
     n_rays_once: jnp.ndarray,
     plane_vec=None,
+    accel=None,
     *,
     ray_block: int,
     tri_tile: int,
@@ -582,6 +756,7 @@ def trace_chunk(
         want_any=want_any,
         discrete=discrete,
         plane_vec=plane_vec,
+        accel=accel,
     )
     if kernel == "pallas":
         kwargs["interpret"] = interpret
@@ -604,5 +779,6 @@ __all__ = [
     "chunk_body_pallas",
     "scheduled_trace",
     "trace_chunk",
+    "plan_tiles",
     "INF",
 ]

@@ -138,24 +138,80 @@ def _sweep_init(dx):
     return (zero + INF, zero.astype(jnp.int32) - 1, zero > 0.0)
 
 
+def _ray_inv(rays):
+    """Per-component (d_zero, 1/d, d >= 0) triples for the slab gate."""
+    out = []
+    for d_c in rays[3:6]:
+        d_zero = jnp.abs(d_c) <= 1e-30
+        out.append((d_zero, 1.0 / jnp.where(d_zero, 1.0, d_c), d_c >= 0.0))
+    return tuple(out)
+
+
+def _gate_needed(rays, inv, aabb_ref, i, carry, *, want_matrix, want_any):
+    """Conservative block-level tile gate: can any ray's AABB interval still
+    matter? Mirrors ops.trace._ray_box_interval — the relative margin makes
+    pruning strictly conservative, so skipped tiles provably cannot change
+    the result (the flat-sweep form of the reference BVH's node_t >= best
+    pruning, reference: cpu_trace.py:243-250).
+
+    ``aabb_ref`` is the (8, n_tiles) SMEM table with rows
+    [lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, pad, pad] (row-per-field layout:
+    SMEM pads the last dimension to 128 words, so wide rows are 16x denser
+    than an (n_tiles, 8) layout)."""
+    ox, oy, oz = rays[0], rays[1], rays[2]
+    best_t, _, any_hit = carry
+
+    def axis(o_c, tpl, lo_s, hi_s):
+        d_zero, inv_c, d_pos = tpl
+        t_n = (jnp.where(d_pos, lo_s, hi_s) - o_c) * inv_c
+        t_f = (jnp.where(d_pos, hi_s, lo_s) - o_c) * inv_c
+        inside = (o_c >= lo_s) & (o_c <= hi_s)
+        t_n = jnp.where(d_zero, jnp.where(inside, -INF, INF), t_n)
+        t_f = jnp.where(d_zero, jnp.where(inside, INF, -INF), t_f)
+        return t_n, t_f
+
+    nx, fx = axis(ox, inv[0], aabb_ref[0, i], aabb_ref[3, i])
+    ny, fy = axis(oy, inv[1], aabb_ref[1, i], aabb_ref[4, i])
+    nz, fz = axis(oz, inv[2], aabb_ref[2, i], aabb_ref[5, i])
+    near = jnp.maximum(jnp.maximum(nx, ny), nz)
+    far = jnp.minimum(jnp.minimum(fx, fy), fz)
+    near_c = near - (jnp.abs(near) * 1e-4 + 1e-6)
+    far_c = far + (jnp.abs(far) * 1e-4 + 1e-6)
+    hit_box = (far_c >= near_c) & (far_c > 1e-6)
+    need = jnp.zeros_like(hit_box)
+    if want_matrix:
+        need = hit_box & (near_c < best_t)
+    if want_any:
+        need = need | (hit_box & ~any_hit)
+    return jnp.any(need)
+
+
 def _sweep_kernel(
-    rays_ref, tris_ref, tiles_on_ref, code_ref, any_ref, *, tri_tile: int,
-    want_matrix: bool, want_any: bool
+    rays_ref, tris_ref, tiles_on_ref, aabb_ref, order_ref, code_ref, any_ref,
+    *, tri_tile: int, want_matrix: bool, want_any: bool, use_gate: bool
 ):
     n_tiles = tris_ref.shape[1] // tri_tile
     rays = _ray_columns(rays_ref)
+    inv = _ray_inv(rays) if use_gate else None
+    order_row = pl.program_id(0) % 8  # order blocks are 8 grid rows tall
 
-    def tile_body(i, carry):
+    def tile_math(i, carry):
         off = i * tri_tile
         row = lambda r: tris_ref[r : r + 1, pl.ds(off, tri_tile)]  # (1, T)
         return _tile_step(rays, row, carry, want_matrix=want_matrix,
                           want_any=want_any)
 
-    def guarded_body(i, carry):
-        # whole-tile skip: Morton clustering makes culled regions contiguous
-        return jax.lax.cond(
-            tiles_on_ref[0, i] > 0, lambda c: tile_body(i, c), lambda c: c, carry
-        )
+    def guarded_body(j, carry):
+        # whole-tile skip: mask-culled tiles (Morton clustering makes culled
+        # regions contiguous) and, with the gate, tiles no ray can improve
+        i = order_ref[order_row, j] if use_gate else j
+        needed = tiles_on_ref[0, i] > 0
+        if use_gate:
+            needed = needed & _gate_needed(
+                rays, inv, aabb_ref, i, carry,
+                want_matrix=want_matrix, want_any=want_any,
+            )
+        return jax.lax.cond(needed, lambda c: tile_math(i, c), lambda c: c, carry)
 
     best_t, best_code, any_hit = jax.lax.fori_loop(
         0, n_tiles, guarded_body, _sweep_init(rays[3])
@@ -165,39 +221,62 @@ def _sweep_kernel(
 
 
 def _sweep_kernel_streamed(
-    rays_ref, tris_hbm, tiles_on_ref, code_ref, any_ref, *,
-    tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool
+    rays_ref, tris_hbm, tiles_on_ref, aabb_ref, order_ref, code_ref, any_ref,
+    *, tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool,
+    use_gate: bool
 ):
     """HBM-streaming variant: the operand pack stays in HBM and tile slices
     are double-buffered into VMEM scratch, so scene size is unbounded.
 
     The sweep is compute-bound for blocks of >= a few hundred rays (each
     streamed byte feeds ray_block pair tests), so the DMA pipeline hides
-    entirely behind the tile math.
+    entirely behind the tile math. With the gate, tiles stream in near-to-far
+    visit order and the (dominant) pair math of pruned tiles is skipped; the
+    DMA itself stays unconditional — it is ~1% of a tile's compute time and
+    keeping it unconditional preserves the simple double-buffer pipeline.
     """
     rays = _ray_columns(rays_ref)
+    inv = _ray_inv(rays) if use_gate else None
+    order_row = pl.program_id(0) % 8  # order blocks are 8 grid rows tall
 
     def body(buf_ref, sem_ref):
-        def tile_dma(slot, i):
+        def src_tile(j):
+            return order_ref[order_row, j] if use_gate else j
+
+        def tile_dma(slot, j):
             return pltpu.make_async_copy(
-                tris_hbm.at[:, pl.ds(i * tri_tile, tri_tile)],
+                tris_hbm.at[:, pl.ds(src_tile(j) * tri_tile, tri_tile)],
                 buf_ref.at[slot],
                 sem_ref.at[slot],
             )
 
         tile_dma(0, 0).start()
 
-        def tile_body(i, carry):
-            slot = i % 2
+        def tile_body(j, carry):
+            slot = j % 2
 
-            @pl.when(i + 1 < n_tiles)
+            @pl.when(j + 1 < n_tiles)
             def _():
-                tile_dma((i + 1) % 2, i + 1).start()
+                tile_dma((j + 1) % 2, j + 1).start()
 
-            tile_dma(slot, i).wait()
+            tile_dma(slot, j).wait()
             row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
-            return _tile_step(rays, row, carry, want_matrix=want_matrix,
-                              want_any=want_any)
+            if not use_gate:
+                # tiles stream regardless; skipping saves no DMA here
+                return _tile_step(rays, row, carry, want_matrix=want_matrix,
+                                  want_any=want_any)
+            i = src_tile(j)
+            needed = (tiles_on_ref[0, i] > 0) & _gate_needed(
+                rays, inv, aabb_ref, i, carry,
+                want_matrix=want_matrix, want_any=want_any,
+            )
+            return jax.lax.cond(
+                needed,
+                lambda c: _tile_step(rays, row, c, want_matrix=want_matrix,
+                                     want_any=want_any),
+                lambda c: c,
+                carry,
+            )
 
         best_t, best_code, any_hit = jax.lax.fori_loop(
             0, n_tiles, tile_body, _sweep_init(rays[3])
@@ -210,7 +289,6 @@ def _sweep_kernel_streamed(
         pltpu.VMEM((2, TRI_ROWS, tri_tile), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     )
-    del tiles_on_ref  # tiles stream regardless; skipping saves no DMA here
 
 
 def sweep_rays(
@@ -224,25 +302,66 @@ def sweep_rays(
     want_any: bool,
     interpret: bool = False,
     stream_from_hbm: bool | None = None,
+    accel=None,
 ):
     """Sweep all rays against all triangles; returns (codes (N,), any (N,)).
 
     For scenes whose operand pack exceeds the VMEM budget the kernel
     switches to the HBM-streaming variant (double-buffered tile DMA);
     ``stream_from_hbm`` forces either mode.
+
+    ``accel`` (the ACCEL_GRAIN-granularity (tile_lo, tile_hi) pair from
+    prepared.pack_scene) enables in-kernel distance pruning: each ray block
+    visits tiles near-to-far from the block's mean ray origin, and a tile's
+    pair math is skipped when no ray's conservative box interval can still
+    improve its nearest hit or block it anew. Pair callers with
+    ops.trace.sort_rays_for_coherence — gating is exact either way, but only
+    coherent blocks make it fire.
     """
-    from ..config import PALLAS_MAX_TRIS
+    from ..config import ACCEL_GRAIN, PALLAS_MAX_TRIS
 
     n = rays.shape[0]
     n_tri_pad = tri_pack.shape[1]
     tile = min(tri_tile, n_tri_pad)
     while tile > 128 and n_tri_pad % tile != 0:
         tile //= 2
-    grid = (n // ray_block,)
+    n_blocks = n // ray_block
+    grid = (n_blocks,)
     n_tiles = n_tri_pad // tile
     tiles_on = jnp.any(sweep_mask.reshape(n_tiles, tile), axis=1).astype(jnp.int32)
     if stream_from_hbm is None:
         stream_from_hbm = n_tri_pad > PALLAS_MAX_TRIS
+
+    # The gate's AABB/order tables live in SMEM (~1 MB budget, scalar words
+    # are padded); past ~1024 tiles they would not fit, so very large tile
+    # counts fall back to the ungated sweep.
+    use_gate = accel is not None and n_tiles <= 1024
+    n_blocks_pad = ((n_blocks + 7) // 8) * 8  # order blocks are 8 rows tall
+    if use_gate:
+        per = tile // ACCEL_GRAIN
+        lo = jnp.min(accel[0].reshape(n_tiles, per, 3), axis=1)
+        hi = jnp.max(accel[1].reshape(n_tiles, per, 3), axis=1)
+        # (8, n_tiles) row-per-field: [lo_x..lo_z, hi_x..hi_z, pad, pad]
+        aabb = jnp.concatenate(
+            [lo.T, hi.T, jnp.zeros((2, n_tiles), jnp.float32)], axis=0
+        )
+        # Per-block near-to-far visit order from the block's mean origin, so
+        # best_t shrinks in the first few tiles and far tiles get pruned.
+        cent = jnp.mean(
+            rays[:, :3].reshape(n_blocks, ray_block, 3), axis=1
+        )  # (n_blocks, 3)
+        gap = jnp.maximum(
+            jnp.maximum(lo[None, :, :] - cent[:, None, :],
+                        cent[:, None, :] - hi[None, :, :]),
+            0.0,
+        )
+        order = jnp.argsort(
+            jnp.sum(gap * gap, axis=2), axis=1
+        ).astype(jnp.int32)  # (n_blocks, n_tiles)
+        order = jnp.pad(order, ((0, n_blocks_pad - n_blocks), (0, 0)))
+    else:
+        aabb = jnp.zeros((8, 128), jnp.float32)
+        order = jnp.zeros((8, 128), jnp.int32)
 
     if stream_from_hbm:
         kernel = functools.partial(
@@ -251,6 +370,7 @@ def sweep_rays(
             n_tiles=n_tiles,
             want_matrix=want_matrix,
             want_any=want_any,
+            use_gate=use_gate,
         )
         tris_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     else:
@@ -259,11 +379,13 @@ def sweep_rays(
             tri_tile=tile,
             want_matrix=want_matrix,
             want_any=want_any,
+            use_gate=use_gate,
         )
         tris_spec = pl.BlockSpec(
             (TRI_ROWS, n_tri_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
 
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
     codes, any_hit = pl.pallas_call(
         kernel,
         grid=grid,
@@ -272,7 +394,16 @@ def sweep_rays(
                 (ray_block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             tris_spec,
-            pl.BlockSpec((1, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            smem((1, n_tiles)),
+            smem(aabb.shape),
+            # per-block visit order: 8-row-tall blocks (Mosaic requires
+            # sublane-dim block sizes divisible by 8); the kernel picks its
+            # row via program_id % 8
+            pl.BlockSpec(
+                (8, order.shape[1]),
+                (lambda i: (i // 8, 0)) if use_gate else (lambda i: (0, 0)),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((ray_block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -287,6 +418,8 @@ def sweep_rays(
         jnp.pad(rays, ((0, 0), (0, 16 - rays.shape[1]))),
         tri_pack,
         tiles_on[None, :],
+        aabb,
+        order,
     )
     return codes[:, 0], any_hit[:, 0]
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.trace import chunk_body
+from ..ops.trace import chunk_body, chunk_body_pallas
 
 RAY_AXIS = "rays"
 
@@ -42,19 +42,25 @@ def _build_sharded_step(
     want_matrix: bool,
     want_any: bool,
     discrete: bool,
+    has_accel: bool,
+    kernel: str,
+    interpret: bool,
 ):
     axis = mesh.axis_names[0]
     rep_scene: Tuple = tuple(P() for _ in range(8))
     shard_tables: Tuple = tuple(P(axis) for _ in range(7))
     rep_geom: Tuple = tuple(P() for _ in range(8))
+    accel_spec = (P(), P()) if has_accel else ()
+    body = chunk_body_pallas if kernel == "pallas" else chunk_body
+    extra = {"interpret": interpret} if kernel == "pallas" else {}
 
     def local_step(
         scene, tables, geom, cp, surf_active_ext, emit_sid, min_sid,
-        n_rays_once, plane_vec,
+        n_rays_once, plane_vec, accel,
     ):
         local_n = tables[0].shape[0]
         base = jax.lax.axis_index(axis).astype(jnp.int32) * local_n
-        out = chunk_body(
+        out = body(
             scene,
             tables,
             geom,
@@ -70,14 +76,22 @@ def _build_sharded_step(
             discrete=discrete,
             ray_index_base=base,
             plane_vec=plane_vec,
+            accel=accel if has_accel else None,
+            **extra,
         )
         return jax.tree.map(lambda x: jax.lax.psum(x, axis), out)
 
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(rep_scene, shard_tables, rep_geom, P(), P(), P(), P(), P(), P()),
+        in_specs=(
+            rep_scene, shard_tables, rep_geom, P(), P(), P(), P(), P(), P(),
+            accel_spec,
+        ),
         out_specs=P(),
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # int32 psum over the ray axis makes every output replicated anyway
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -93,27 +107,34 @@ def trace_chunk_sharded(
     min_sid,
     n_rays_once,
     plane_vec=None,
+    accel=None,
     *,
     ray_block: int,
     tri_tile: int,
     want_matrix: bool,
     want_any: bool,
     discrete: bool,
+    kernel: str = "xla",
+    interpret: bool = False,
 ):
     """Sharded equivalent of ops.trace.trace_chunk over a 1-D ray mesh.
 
     Per-ray tables must be padded to a multiple of ``ray_block * n_devices``
     (the solver's pack alignment guarantees this when a mesh is passed).
+    ``kernel="pallas"`` runs the fused Pallas sweep inside each shard, so
+    multi-chip solves of large scenes keep the fast kernel; the int32 psum
+    over ICI is unchanged, so results stay bitwise-equal to single-device.
     """
     step = _build_sharded_step(
-        mesh, ray_block, tri_tile, want_matrix, want_any, discrete
+        mesh, ray_block, tri_tile, want_matrix, want_any, discrete,
+        accel is not None, kernel, interpret,
     )
     cp = jnp.asarray(cp, dtype=jnp.float32)
     if plane_vec is None:
         plane_vec = jnp.zeros(8, dtype=jnp.float32)
     return step(
         scene, tables, geom, cp, surf_active_ext, emit_sid, min_sid,
-        n_rays_once, plane_vec,
+        n_rays_once, plane_vec, accel if accel is not None else (),
     )
 
 

@@ -34,7 +34,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .config import RAY_BLOCK, TRI_TILE
+from .config import ACCEL_GRAIN, RAY_BLOCK, TRI_TILE
 from .ops.halton import cached_halton, cached_halton_dims
 from .utils.helpers import grid_from_density
 
@@ -369,6 +369,20 @@ class ScenePack:
     n_tri_pad: int
     tri_tile: int
     n_surf: int
+    # Per-tile AABBs at the finest tile granularity (ACCEL_GRAIN triangles),
+    # only when acceleration is on. Morton ordering makes these boxes
+    # spatially tight, which is what lets the sweep kernels prune tiles by
+    # ray-interval tests (the flat-sweep analogue of BVH node_t >= best
+    # pruning, reference: cpu_trace.py:243-250). Padded tiles carry an empty
+    # box (lo > hi) that every slab test misses.
+    tile_lo: Any = None  # (Tp / ACCEL_GRAIN, 3) f32
+    tile_hi: Any = None  # (Tp / ACCEL_GRAIN, 3) f32
+
+    @property
+    def accel(self):
+        if self.tile_lo is None:
+            return None
+        return (self.tile_lo, self.tile_hi)
 
 
 @dataclass(frozen=True)
@@ -400,11 +414,43 @@ class EmitterPack:
     n_rays_pad: int
 
 
+# Empty-box sentinel: any slab test against (lo=+BIG, hi=-BIG) misses.
+_ACCEL_EMPTY = 3.0e37
+
+
+def _tile_bounds(
+    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, n_tri: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(n_tiles, 3) AABB lo/hi per ACCEL_GRAIN-triangle tile (padded arrays).
+
+    Only real triangles contribute; fully padded tiles get the empty box.
+    """
+    n_tri_pad = v0.shape[0]
+    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1).astype(np.float32)  # (Tp,3,3)
+    real = np.arange(n_tri_pad) < n_tri
+    pts = np.where(real[:, None, None], pts, np.float32(np.nan))
+    tiles = pts.reshape(n_tri_pad // ACCEL_GRAIN, ACCEL_GRAIN * 3, 3)
+    with np.errstate(invalid="ignore"):
+        lo = np.nanmin(tiles, axis=1)
+        hi = np.nanmax(tiles, axis=1)
+    lo = np.where(np.isnan(lo), np.float32(_ACCEL_EMPTY), lo).astype(np.float32)
+    hi = np.where(np.isnan(hi), np.float32(-_ACCEL_EMPTY), hi).astype(np.float32)
+    return lo, hi
+
+
 def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
     import jax
 
+    from .config import PALLAS_MAX_TRIS, PALLAS_TRI_TILE
+
     n_tri = int(scene.v0.shape[0])
     n_tri_pad = _round_up(n_tri, 128)
+    if n_tri_pad > PALLAS_MAX_TRIS:
+        # HBM-streamed scenes: keep the padded count a multiple of the full
+        # Pallas tile so the sweep tile width never collapses (a non-dividing
+        # count halves the tile repeatedly, exploding the tile count and the
+        # SMEM gate tables). <=2047 extra padded triangles is noise here.
+        n_tri_pad = _round_up(n_tri, PALLAS_TRI_TILE)
     tile = pick_tri_tile(n_tri_pad)
 
     if scene.use_accel and n_tri > 1:
@@ -427,7 +473,12 @@ def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
     sid = np.full(n_tri_pad, n_surf, dtype=np.int32)
     sid[:n_tri] = scene.sid[perm]
 
-    put = lambda a: jax.device_put(a, device)
+    if scene.use_accel and n_tri > 0:
+        tile_lo, tile_hi = _tile_bounds(v0, e1, e2, n_tri)
+    else:
+        tile_lo = tile_hi = None
+
+    put = lambda a: jax.device_put(a, device) if a is not None else None
     return ScenePack(
         v0=put(v0),
         e1=put(e1),
@@ -441,6 +492,8 @@ def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
         n_tri_pad=n_tri_pad,
         tri_tile=tile,
         n_surf=n_surf,
+        tile_lo=put(tile_lo),
+        tile_hi=put(tile_hi),
     )
 
 

@@ -58,6 +58,20 @@ def _select_bvh(bvh: Optional[str], total_faces: int) -> bool:
     return total_faces >= _BVH_AUTO_THRESHOLD
 
 
+def _use_scheduler(device) -> bool:
+    """Whether XLA-swept multi-emitter solves use the whole-scene scheduled
+    driver (one dispatch per convergence round) instead of grouped vmap
+    batching. "auto" = scheduled on accelerators (per-dispatch overhead
+    dominates small scenes there), grouped on the CPU backend."""
+    from .config import SCHEDULER
+
+    if SCHEDULER == "scheduled":
+        return True
+    if SCHEDULER == "grouped":
+        return False
+    return device.platform != "cpu"
+
+
 def _resolve_device(device: Optional[str]):
     """Map the ``device`` param to a JAX device.
 
@@ -241,9 +255,12 @@ class _EmitterRun:
         if self.kernel == "pallas":
             from .config import PALLAS_RAY_BLOCK, PALLAS_TRI_TILE
 
+            n_local = self.em_pack.n_rays_pad
+            if self.mesh is not None:
+                n_local //= int(np.prod([self.mesh.shape[k] for k in self.mesh.shape]))
             # sweep_rays derives the final (divisible) tile width itself
             kwargs = dict(
-                ray_block=min(PALLAS_RAY_BLOCK, self.em_pack.n_rays_pad),
+                ray_block=min(PALLAS_RAY_BLOCK, n_local),
                 tri_tile=PALLAS_TRI_TILE,
                 want_matrix=want_matrix,
                 want_any=want_any,
@@ -263,7 +280,8 @@ class _EmitterRun:
             out = trace_chunk_sharded(
                 self.mesh, scene_t, tables_t, geom_t, cp,
                 self.surf_active_ext, self.emit_sid, self.min_sid,
-                self.n_rays_once, em.plane_vec, **kwargs,
+                self.n_rays_once, em.plane_vec, scene.accel,
+                kernel=self.kernel, interpret=self.interpret, **kwargs,
             )
         else:
             from .ops.trace import trace_chunk
@@ -271,8 +289,8 @@ class _EmitterRun:
             out = trace_chunk(
                 scene_t, tables_t, geom_t, cp,
                 self.surf_active_ext, self.emit_sid, self.min_sid,
-                self.n_rays_once, em.plane_vec, kernel=self.kernel,
-                interpret=self.interpret, **kwargs,
+                self.n_rays_once, em.plane_vec, scene.accel,
+                kernel=self.kernel, interpret=self.interpret, **kwargs,
             )
         return out
 
@@ -473,8 +491,18 @@ def _pow2_at_least(n: int, lo: int = 128) -> int:
     return size
 
 
-def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
-                            scene_pack, pack_dev, n_meshes: int) -> None:
+def _entry_monitors(entry) -> List:
+    """All live monitors of an entry (single-output or combined)."""
+    if "monitor" in entry:
+        return [entry["monitor"]]
+    return [m for m in (entry.get("matrix_mon"), entry.get("sky_mon"))
+            if m is not None]
+
+
+def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
+                     scene_pack, pack_dev, n_meshes: int, *,
+                     want_matrix: bool, want_any: bool, discrete: bool,
+                     consume) -> None:
     """Whole-scene scheduled solves: one dispatch per convergence round.
 
     Builds a block schedule spanning every pending emitter's next chunk and
@@ -482,9 +510,14 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
     replays per-(emitter, iteration) aggregates through the monitors. The
     dispatch count becomes the number of convergence rounds of the slowest
     emitter instead of (emitters x rounds) — the scheduler end-state of the
-    reference's multi-stream batching. Schedule/CP arrays are padded to
-    power-of-two sizes to bound compiled variants; padding blocks re-trace
-    block 0 and are ignored by the aggregation.
+    reference's multi-stream batching (reference: main.py:901-1179, which
+    covers its sky kernels too: main.py:2044-2105). Schedule/CP arrays are
+    padded to power-of-two sizes to bound compiled variants; padding blocks
+    re-trace block 0 and are ignored by the aggregation.
+
+    ``consume(entry, host, start_row, bpi, chunk)`` replays one entry's
+    per-iteration aggregates through its monitor(s) and must advance
+    ``entry['run'].itr_next`` to the first unconsumed iteration.
     """
     import jax.numpy as jnp
 
@@ -503,30 +536,36 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
         scene_pack.w_u, scene_pack.w_v, scene_pack.d0, scene_pack.sid,
     )
 
+    def entry_pending(entry) -> bool:
+        return any(not m.done for m in _entry_monitors(entry))
+
+    def entry_plan(entry, rays_per_iter: int) -> int:
+        return max(
+            plan_chunk(
+                m.iters_done,
+                min_iters=m.min_iters,
+                interval=m.interval,
+                max_iters=m.max_iters,
+                rays_per_iter=rays_per_iter,
+                projected_total=m.projected_total(),
+            )
+            for m in _entry_monitors(entry)
+            if not m.done
+        )
+
     max_blocks = max(256, TARGET_CHUNK_RAYS // RAY_BLOCK * 8)
-    pending = [e for e in entries if not e["monitor"].done]
+    pending = [e for e in entries if entry_pending(e)]
     while pending:
         rows: List[List[int]] = []
         cp_list: List[np.ndarray] = []
         plan: List[Tuple] = []  # (entry, start_row, bpi, n_iters)
         round_rows: Dict[int, int] = {}  # global emitter idx -> local row
         for entry in pending:
-            mon = entry["monitor"]
             run = entry["run"]
             e = entry["idx"]
             bpi = int(n_pad[e]) // RAY_BLOCK
             budget = max(1, (max_blocks - len(rows)) // max(1, bpi))
-            chunk = min(
-                plan_chunk(
-                    mon.iters_done,
-                    min_iters=mon.min_iters,
-                    interval=mon.interval,
-                    max_iters=mon.max_iters,
-                    rays_per_iter=int(n_pad[e]),
-                    projected_total=mon.projected_total(),
-                ),
-                budget,
-            )
+            chunk = min(entry_plan(entry, int(n_pad[e])), budget)
             if chunk <= 0:
                 continue
             local_e = round_rows.setdefault(e, len(round_rows))
@@ -545,7 +584,8 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
                 break
         if not plan:
             for entry in pending:
-                entry["monitor"].done = True
+                for m in _entry_monitors(entry):
+                    m.done = True
                 _entry_done(entry)
             break
 
@@ -581,30 +621,104 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
             scene_t, tables_flat, geom_round, jnp.asarray(cp),
             jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
             jnp.asarray(once_b), jnp.asarray(plane_b),
-            jnp.asarray(schedule),
+            jnp.asarray(schedule), scene_pack.accel,
             ray_block=RAY_BLOCK,
             tri_tile=scene_pack.tri_tile,
-            want_matrix=True,
-            want_any=False,
-            discrete=False,
+            want_matrix=want_matrix,
+            want_any=want_any,
+            discrete=discrete,
         )
-        counts_f = np.asarray(out["counts_f"])
-        counts_b = np.asarray(out["counts_b"])
+        host = {k: np.asarray(v) for k, v in out.items()}
 
         for entry, start_row, bpi, chunk in plan:
-            mon = entry["monitor"]
-            for c in range(chunk):
-                if mon.done:
-                    break
-                r0 = start_row + c * bpi
-                mon.consume_iteration(
-                    counts_f[r0 : r0 + bpi].sum(axis=0),
-                    counts_b[r0 : r0 + bpi].sum(axis=0),
-                )
-            entry["run"].itr_next = mon.iters_done
-            if mon.done:
+            consume(entry, host, start_row, bpi, chunk)
+            if not entry_pending(entry):
                 _entry_done(entry)
-        pending = [e for e in pending if not e["monitor"].done]
+        pending = [e for e in pending if entry_pending(e)]
+
+
+def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
+                            scene_pack, pack_dev, n_meshes: int) -> None:
+    def consume(entry, host, start_row, bpi, chunk):
+        mon = entry["monitor"]
+        for c in range(chunk):
+            if mon.done:
+                break
+            r0 = start_row + c * bpi
+            mon.consume_iteration(
+                host["counts_f"][r0 : r0 + bpi].sum(axis=0),
+                host["counts_b"][r0 : r0 + bpi].sum(axis=0),
+            )
+        entry["run"].itr_next = mon.iters_done
+
+    _drive_scheduled(
+        entries, prepared_solver, p, flip_faces, align, scene_pack, pack_dev,
+        n_meshes, want_matrix=True, want_any=False, discrete=False,
+        consume=consume,
+    )
+
+
+def _drive_sky_scheduled(entries, prepared_solver, p, align, scene_pack,
+                         pack_dev, n_meshes: int, *, discrete: bool) -> None:
+    def consume(entry, host, start_row, bpi, chunk):
+        mon = entry["monitor"]
+        for c in range(chunk):
+            if mon.done:
+                break
+            r0 = start_row + c * bpi
+            mon.consume_iteration(
+                host["sky_bins"][r0 : r0 + bpi].sum(axis=0)
+                if discrete
+                else int(host["upward"][r0 : r0 + bpi].sum())
+            )
+        entry["run"].itr_next = mon.iters_done
+
+    _drive_scheduled(
+        entries, prepared_solver, p, False, align, scene_pack, pack_dev,
+        n_meshes, want_matrix=False, want_any=True, discrete=discrete,
+        consume=consume,
+    )
+
+
+def _drive_combined_scheduled(entries, prepared_solver, p, align, scene_pack,
+                              pack_dev, n_meshes: int, *, discrete: bool) -> None:
+    """Scheduled shared-ray workflow: both outputs computed for every block
+    (simple single compiled program); each monitor consumes only while
+    pending, exactly the dual-monitor replay of _drive_combined_pipelined."""
+
+    def consume(entry, host, start_row, bpi, chunk):
+        m = entry.get("matrix_mon")
+        s = entry.get("sky_mon")
+        entry.setdefault("trace_iters", 0)
+        for c in range(chunk):
+            r0 = start_row + c * bpi
+            used = False
+            if m is not None and not m.done:
+                m.consume_iteration(
+                    host["counts_f"][r0 : r0 + bpi].sum(axis=0),
+                    host["counts_b"][r0 : r0 + bpi].sum(axis=0),
+                )
+                used = True
+            if s is not None and not s.done:
+                s.consume_iteration(
+                    host["sky_bins"][r0 : r0 + bpi].sum(axis=0)
+                    if discrete
+                    else int(host["upward"][r0 : r0 + bpi].sum())
+                )
+                used = True
+            if used:
+                entry["trace_iters"] = max(
+                    entry["trace_iters"],
+                    m.iters_done if m is not None else 0,
+                    s.iters_done if s is not None else 0,
+                )
+        entry["run"].itr_next = entry["trace_iters"]
+
+    _drive_scheduled(
+        entries, prepared_solver, p, False, align, scene_pack, pack_dev,
+        n_meshes, want_matrix=True, want_any=True, discrete=discrete,
+        consume=consume,
+    )
 
 
 def _consume_matrix(mon, host, e_idx, k):
@@ -964,9 +1078,7 @@ def view_factor_matrix(
     reciprocity = bool(p["reciprocity"])
     flip_faces = bool(p["flip_faces"])
 
-    from .config import SCHEDULER
-
-    use_scheduler = SCHEDULER == "scheduled"
+    use_scheduler = _use_scheduler(device)
     result: VFDict = {name: {} for name, _, _ in meshes}
     stats_result: VFDict = {}
     profiler = _maybe_profiler()
@@ -1204,7 +1316,10 @@ def view_factor_to_tregenza_sky(
                 min_iters=p["min_iters"], interval=interval,
                 max_iters=p["max_iters"],
             )
-            entries.append(dict(run=run, monitor=monitor, idx=idx_emit, name=name_e))
+            entries.append(
+                dict(run=run, monitor=monitor, idx=idx_emit, name=name_e,
+                     surf_active=surf_active, emit_sid=idx_emit, min_sid=0)
+            )
 
     def _sky_row(monitor) -> Dict[str, float]:
         total = float(max(1, monitor.total_rays))
@@ -1224,7 +1339,13 @@ def view_factor_to_tregenza_sky(
         entry["started"] = t_solve
         entry["on_done"] = _save_sky
     if kernel == "xla" and mesh is None and len(entries) > 1:
-        _drive_sky_grouped(entries, discrete=discrete)
+        if _use_scheduler(device):
+            _drive_sky_scheduled(
+                entries, prepared_solver, p, align, scene_pack, pack_dev,
+                n_surf, discrete=discrete,
+            )
+        else:
+            _drive_sky_grouped(entries, discrete=discrete)
     _drive_sky_pipelined(entries, discrete=discrete)
     solve_s = time.time() - t_solve
 
@@ -1267,6 +1388,7 @@ def view_factor_matrix_and_sky(
     sky_params: SkyParams,
     prepared: Optional[PreparedSolver] = None,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> Tuple[VFDict, VFDict]:
     """Compute the scene matrix and sky VF from one shared set of rays.
 
@@ -1274,6 +1396,12 @@ def view_factor_matrix_and_sky(
     matrix, rays missing all geometry feed the sky bins. Matrix and sky
     convergence are independent — when one side finishes, tracing continues
     with the cheaper single-output kernel using the same iteration stream.
+
+    ``checkpoint_dir`` makes long solves resumable like
+    :func:`view_factor_matrix`: each emitter's converged matrix row,
+    reciprocity back-fill and sky row are written atomically the moment both
+    outputs finish, keyed by a fingerprint of BOTH parameter sets and the
+    geometry, and a restarted solve replays completed emitters from disk.
     """
     if not isinstance(matrix_params, MatrixParams):
         raise TypeError("matrix_params must be a MatrixParams instance")
@@ -1284,6 +1412,16 @@ def view_factor_matrix_and_sky(
 
     mp = matrix_params.as_dict()
     sp = sky_params.as_dict()
+    store = (
+        _CheckpointStore(
+            checkpoint_dir,
+            {**{f"m.{k}": v for k, v in mp.items()},
+             **{f"s.{k}": v for k, v in sp.items()}},
+            meshes,
+        )
+        if checkpoint_dir
+        else None
+    )
     discrete = bool(sp["discrete"])
     reciprocity = bool(mp["reciprocity"])
     device = _resolve_device(mp["device"])
@@ -1304,8 +1442,22 @@ def view_factor_matrix_and_sky(
     sky_vf: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
 
     n_surf = len(meshes)
+    n_restored = 0
     entries: List[Dict] = []
     for idx_emit, (name_e, _, _) in enumerate(meshes):
+        if store is not None:
+            saved = store.load(idx_emit)
+            if saved is not None:
+                vf_scene[name_e].update(saved["row"])
+                for other, back_entries in saved.get("backfill", {}).items():
+                    vf_scene[other].update(back_entries)
+                sky_vf[name_e].update(saved.get("stats", {}).get("sky", {}))
+                n_restored += 1
+                _emit_log(
+                    f"({idx_emit + 1}/{n_surf}) [{name_e}] restored from "
+                    f"checkpoint"
+                )
+                continue
         emitter = emitters[idx_emit]
         surf_active = _build_emitter_surface_mask(
             idx_emit, emitter, bounds_center, bounds_extent
@@ -1344,48 +1496,72 @@ def view_factor_matrix_and_sky(
         )
         entries.append(
             dict(run=run, matrix_mon=matrix_mon, sky_mon=sky_mon,
-                 idx=idx_emit, name=name_e, receivers=receivers)
+                 idx=idx_emit, name=name_e, receivers=receivers,
+                 surf_active=surf_active, emit_sid=emit_sid,
+                 min_sid=matrix_min_sid)
         )
 
-    t_solve = time.time()
-    for entry in entries:
-        entry["started"] = t_solve
-    _drive_combined_pipelined(entries, discrete=discrete)
-    solve_s = time.time() - t_solve
-
-    for entry in entries:
+    def _assemble(entry) -> None:
+        """Build the emitter's matrix row, back-fill and sky row; checkpoint
+        immediately so a preempted workflow keeps every finished emitter."""
         idx_emit, name_e = entry["idx"], entry["name"]
         matrix_mon, sky_mon = entry["matrix_mon"], entry["sky_mon"]
-        receivers = entry["receivers"]
-        run, trace_iters = entry["run"], entry["trace_iters"]
-        em_pack = run.em_pack
+        row: Dict[str, float] = {}
+        backfill: Dict[str, Dict[str, float]] = {}
+        sky_row: Dict[str, float] = {}
 
         if matrix_mon is not None and matrix_mon.total_rays > 0:
-            row: Dict[str, float] = {}
             total = float(matrix_mon.total_rays)
-            for j in receivers:
+            for j in entry["receivers"]:
                 name_r = meshes[j][0]
                 f = matrix_mon.hits_f[j] / total
                 b = matrix_mon.hits_b[j] / total
                 if f > 0.0:
                     row[f"{name_r}_front"] = f
                     if reciprocity and areas is not None and areas[j] > 0.0:
-                        vf_scene[name_r][f"{name_e}_front"] = f * (
-                            areas[idx_emit] / areas[j]
+                        backfill.setdefault(name_r, {})[f"{name_e}_front"] = (
+                            f * (areas[idx_emit] / areas[j])
                         )
                 if b > 0.0:
                     row[f"{name_r}_back"] = b
-            vf_scene[name_e].update(row)
 
         if sky_mon.total_rays > 0:
             total = float(sky_mon.total_rays)
             if discrete:
                 frac = sky_mon.counts_total.astype(np.float64) / total
-                sky_vf[name_e].update(
-                    {f"Sky_Patch_{i + 1}": float(frac[i]) for i in range(145)}
-                )
+                sky_row = {f"Sky_Patch_{i + 1}": float(frac[i]) for i in range(145)}
             else:
-                sky_vf[name_e]["Sky"] = float(sky_mon.upward_total / total)
+                sky_row = {"Sky": float(sky_mon.upward_total / total)}
+
+        entry["row"] = row
+        entry["backfill"] = backfill
+        entry["sky_row"] = sky_row
+        if store is not None:
+            store.save(idx_emit, name_e, row, backfill, {"sky": sky_row})
+
+    t_solve = time.time()
+    for entry in entries:
+        entry["started"] = t_solve
+        entry["on_done"] = _assemble
+    if (kernel == "xla" and mesh is None and len(entries) > 1
+            and _use_scheduler(device)):
+        _drive_combined_scheduled(
+            entries, prepared_solver, mp, align, scene_pack, pack_dev,
+            n_surf, discrete=discrete,
+        )
+    _drive_combined_pipelined(entries, discrete=discrete)
+    solve_s = time.time() - t_solve
+
+    for entry in entries:
+        idx_emit, name_e = entry["idx"], entry["name"]
+        matrix_mon, sky_mon = entry["matrix_mon"], entry["sky_mon"]
+        trace_iters = entry["trace_iters"]
+        em_pack = entry["run"].em_pack
+
+        vf_scene[name_e].update(entry["row"])
+        for name_r, back_entries in entry["backfill"].items():
+            vf_scene[name_r].update(back_entries)
+        sky_vf[name_e].update(entry["sky_row"])
 
         matrix_iters = matrix_mon.iters_done if matrix_mon is not None else 0
         _emit_log(
@@ -1394,6 +1570,11 @@ def view_factor_matrix_and_sky(
             f"{entry.get('elapsed', solve_s):0.3f}s  "
             f"(scene={matrix_iters} iter, sky={sky_mon.iters_done} iter, "
             f"BVH={'builtin' if use_bvh else 'off'}, device={_device_label(device)})"
+        )
+    if n_restored:
+        _emit_log(
+            f"{n_restored}/{n_surf} emitters restored from checkpoint "
+            f"(not re-traced)"
         )
 
     return vf_scene, sky_vf
@@ -1430,7 +1611,7 @@ def _resolve_kernel(device, mesh, n_tri: int = 0) -> Tuple[str, bool]:
     else:
         kernel = (
             "pallas"
-            if (mesh is None and device.platform != "cpu" and n_tri >= PALLAS_MIN_TRIS)
+            if (device.platform != "cpu" and n_tri >= PALLAS_MIN_TRIS)
             else "xla"
         )
     interpret = kernel == "pallas" and device.platform == "cpu"

@@ -133,3 +133,83 @@ def test_sky_checkpoint_resume(tmp_path, monkeypatch):
     second = view_factor_to_tregenza_sky(MESHES, params=sp, checkpoint_dir=ckpt)
     assert second == plain
     assert all("restored from checkpoint" in l for l in lines)
+
+
+def test_workflow_checkpoint_resume(tmp_path, monkeypatch):
+    """The shared-ray workflow resumes per emitter: matrix row, back-fill and
+    sky row all restore, and the final result matches an uninterrupted run."""
+    from raystrack_tpu import (
+        SkyParams, view_factor_matrix_and_sky, view_factor_outside_workflow,
+    )
+
+    mp = MatrixParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                      max_iters=6, min_iters=2, tol=1e-3, reciprocity=True)
+    sp = SkyParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                   max_iters=6, min_iters=2, tol=1e-3)
+    ckpt = tmp_path / "wf_ckpt"
+    plain = view_factor_matrix_and_sky(MESHES, matrix_params=mp, sky_params=sp)
+    first = view_factor_matrix_and_sky(
+        MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=str(ckpt)
+    )
+    assert first == plain
+
+    # simulate a crash that lost the middle emitter's checkpoint
+    (ckpt / "emitter_00001.json").unlink()
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    resumed = view_factor_matrix_and_sky(
+        MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=str(ckpt)
+    )
+    assert resumed == plain
+    restored = [l for l in lines if "] restored from checkpoint" in l]
+    traced = [l for l in lines if "] traced" in l]
+    assert len(restored) == 2 and len(traced) == 1 and "[mid]" in traced[0]
+    assert any(l.startswith("2/3 emitters restored") for l in lines)
+
+    # the top-level workflow accepts checkpoint_dir on the shared path
+    base3 = view_factor_outside_workflow(MESHES, matrix_params=mp, sky_params=sp)
+    got3 = view_factor_outside_workflow(
+        MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=str(ckpt)
+    )
+    assert got3 == base3
+
+
+def test_workflow_checkpoint_invalidated_by_sky_change(tmp_path):
+    """Changing only the sky convergence setup must invalidate workflow
+    checkpoints (fingerprint covers both parameter sets)."""
+    from raystrack_tpu import SkyParams, view_factor_matrix_and_sky
+
+    mp = MatrixParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                      max_iters=6, min_iters=2, tol=1e-3)
+    sp = SkyParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                   max_iters=6, min_iters=2, tol=1e-3)
+    ckpt = str(tmp_path / "wf_ckpt")
+    view_factor_matrix_and_sky(MESHES, matrix_params=mp, sky_params=sp,
+                               checkpoint_dir=ckpt)
+    sp2 = SkyParams(**{**sp.as_dict(), "max_iters": 3})
+    got = view_factor_matrix_and_sky(MESHES, matrix_params=mp, sky_params=sp2,
+                                     checkpoint_dir=ckpt)
+    plain = view_factor_matrix_and_sky(MESHES, matrix_params=mp, sky_params=sp2)
+    assert got == plain
+
+
+def test_workflow_fallback_checkpoint_dirs(tmp_path):
+    """Non-shareable workflow params checkpoint into <dir>/matrix, <dir>/sky."""
+    from raystrack_tpu import SkyParams
+    from raystrack_tpu.api import view_factor_outside_workflow
+
+    mp = MatrixParams(samples=16, rays=64, seed=4, device="cpu", bvh="off",
+                      max_iters=4, min_iters=2, tol=1e-3)
+    sp = SkyParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                   max_iters=4, min_iters=2, tol=1e-3)
+    ckpt = tmp_path / "wf2"
+    base = view_factor_outside_workflow(MESHES, matrix_params=mp, sky_params=sp)
+    got = view_factor_outside_workflow(
+        MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=str(ckpt)
+    )
+    assert got == base
+    assert sorted(p.name for p in ckpt.iterdir()) == ["matrix", "sky"]
+    resumed = view_factor_outside_workflow(
+        MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=str(ckpt)
+    )
+    assert resumed == base

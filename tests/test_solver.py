@@ -308,3 +308,45 @@ def test_scheduled_mode_matches_default(monkeypatch):
     monkeypatch.setattr(config, "SCHEDULER", "scheduled")
     scheduled = view_factor_matrix(meshes, params=params)
     assert scheduled == base
+
+
+def test_sky_scheduled_mode_matches_default(monkeypatch):
+    """Scheduled whole-scene driver for the sky solver reproduces the
+    default (grouped + pipelined) driver exactly, merged and discrete."""
+    import raystrack_tpu.config as config
+
+    meshes = [
+        _square("ground", 2.0, 0.0, normal=+1),
+        _square("mid", 1.5, 0.6, normal=-1, center=(0.4, 0.1)),
+        _square("top", 3.0, 1.2, normal=-1),
+    ]
+    for discrete in (False, True):
+        params = SkyParams(samples=8, rays=64, seed=6, device="cpu",
+                           bvh="off", max_iters=7, min_iters=3, tol=1e-3,
+                           discrete=discrete)
+        base = view_factor_to_tregenza_sky(meshes, params=params)
+        monkeypatch.setattr(config, "SCHEDULER", "scheduled")
+        scheduled = view_factor_to_tregenza_sky(meshes, params=params)
+        monkeypatch.setattr(config, "SCHEDULER", "auto")
+        assert scheduled == base
+
+
+def test_combined_scheduled_mode_matches_default(monkeypatch):
+    """Scheduled shared-ray workflow (dual monitors per emitter) reproduces
+    the pipelined combined driver exactly."""
+    import raystrack_tpu.config as config
+    from raystrack_tpu import view_factor_matrix_and_sky
+
+    meshes = [
+        _square("ground", 2.0, 0.0, normal=+1),
+        _square("mid", 1.5, 0.6, normal=-1, center=(0.4, 0.1)),
+        _square("top", 3.0, 1.2, normal=-1),
+    ]
+    mp = _params(max_iters=9, min_iters=3, reciprocity=True)
+    sp = SkyParams(**{k: v for k, v in mp.as_dict().items()
+                      if k in SkyParams(**{}).as_dict()})
+    base = view_factor_matrix_and_sky(meshes, matrix_params=mp, sky_params=sp)
+    monkeypatch.setattr(config, "SCHEDULER", "scheduled")
+    scheduled = view_factor_matrix_and_sky(meshes, matrix_params=mp,
+                                           sky_params=sp)
+    assert scheduled == base
