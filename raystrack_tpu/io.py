@@ -1,13 +1,19 @@
 """JSON persistence for view-factor matrices and mesh geometry.
 
-Format parity with the reference (src/raystrack/io.py:23-238):
+File-format compatible with the reference package (its matrix files are
+``{sender: {receiver: value}}`` with exact zeros pruned, and its mesh files
+are ``{"meshes": [{"name", "vertices", "faces"}, ...]}`` — reference:
+src/raystrack/io.py), so results and scenes round-trip between the two.
+The code itself is organized around two small validation helpers rather
+than per-function checks.
 
-- VF matrix JSON: ``{sender: {receiver: value}}``, exact zeros dropped,
-  optional ``strip_dir`` merging of ``_front``/``_back`` keys, sorted keys.
-- Mesh JSON: ``{"meshes": [{"name", "vertices", "faces"}, ...]}`` with
-  float32 vertices and int32 triangle faces.
-- ``merge_vf_matrix`` deep-merges a list of VF dicts (later entries win only
-  on overlapping receiver keys).
+Behaviors preserved for compatibility:
+
+- saving prunes receivers whose value is exactly ``0.0``,
+- ``strip_dir`` folds ``_front``/``_back`` suffixes and sums same-base keys,
+- a missing file extension becomes ``.json`` and parent dirs are created,
+- ``merge_vf_matrix`` accepts a dict (returned as-is) or a list of dicts
+  whose rows are deep-merged, later entries winning per receiver key.
 """
 from __future__ import annotations
 
@@ -25,160 +31,166 @@ MeshTuple = Tuple[str, np.ndarray, np.ndarray]
 Meshes = List[MeshTuple]
 
 
-def merge_vf_matrix(vf_matrix: VFInput) -> VFDict:
-    """Normalize a dict or list of dicts into one ``{sender: {recv: v}}``.
-
-    When a list is given, nested receiver maps for repeated senders are
-    merged (not replaced); later entries overwrite earlier ones only for
-    overlapping receiver keys.
-    """
-    if isinstance(vf_matrix, dict):
-        return vf_matrix
-    if isinstance(vf_matrix, list):
-        merged: VFDict = {}
-        for part in vf_matrix:
-            if not isinstance(part, dict):
-                raise TypeError("All elements of vf_matrix list must be dicts")
-            for sender, receivers in part.items():
-                merged.setdefault(sender, {}).update(receivers)
-        return merged
-    raise TypeError("vf_matrix must be a dict or list of dicts")
+# ---------------------------------------------------------------------------
+# Shared validation / path plumbing
+# ---------------------------------------------------------------------------
 
 
-def _normalize_path(save_path: str) -> Path:
+def _checked_rows(data, *, where: str) -> VFDict:
+    """Validate ``{str: {str: number}}`` nesting and coerce values to float."""
+    if not isinstance(data, dict):
+        raise TypeError(f"{where}: expected a mapping of sender -> row")
+    out: VFDict = {}
+    for sender, row in data.items():
+        if not isinstance(sender, str):
+            raise TypeError(f"{where}: sender key {sender!r} is not a string")
+        if not isinstance(row, dict):
+            raise TypeError(f"{where}: row of {sender!r} is not a mapping")
+        coerced: Dict[str, float] = {}
+        for recv, value in row.items():
+            if not isinstance(recv, str):
+                raise TypeError(
+                    f"{where}: receiver key {recv!r} under {sender!r} is not a string"
+                )
+            try:
+                coerced[recv] = float(value)
+            except (TypeError, ValueError):
+                raise TypeError(
+                    f"{where}: {sender!r} -> {recv!r} value {value!r} is not numeric"
+                )
+        out[sender] = coerced
+    return out
+
+
+def _checked_mesh(name, V, F, *, where: str) -> MeshTuple:
+    if not isinstance(name, str) or not name.strip():
+        raise TypeError(f"{where}: mesh name must be a non-empty string")
+    V = np.asarray(V, dtype=np.float32)
+    F = np.asarray(F, dtype=np.int32)
+    if V.ndim != 2 or V.shape[1] != 3:
+        raise ValueError(f"{where}: {name!r} vertices must be (N, 3)")
+    if F.ndim != 2 or F.shape[1] != 3:
+        raise ValueError(f"{where}: {name!r} faces must be (M, 3) triangles")
+    return name, V, F
+
+
+def _out_path(save_path: str) -> Path:
     path = Path(save_path)
-    if path.suffix.lower() == "":
+    if not path.suffix:
         path = path.with_suffix(".json")
-    if path.parent and not path.parent.exists():
-        path.parent.mkdir(parents=True, exist_ok=True)
+    path.parent.mkdir(parents=True, exist_ok=True)
     return path
 
 
-def save_vf_matrix_json(vf_matrix: VFInput, save_path: str, *, strip_dir: bool = False) -> str:
-    """Save a view-factor matrix to JSON; returns the resolved path.
+def _read_json(load_path: str):
+    path = Path(load_path)
+    if not path.exists():
+        raise FileNotFoundError(f"File not found: {load_path}")
+    return json.loads(path.read_text(encoding="utf-8"))
 
-    Receivers whose value is exactly ``0.0`` are omitted. With
-    ``strip_dir=True``, direction suffixes are removed and same-base values
-    are summed per sender row before serialization.
+
+# ---------------------------------------------------------------------------
+# View-factor matrices
+# ---------------------------------------------------------------------------
+
+
+def merge_vf_matrix(vf_matrix: VFInput) -> VFDict:
+    """Flatten a dict, or deep-merge a list of dicts, into one VF matrix.
+
+    Repeated senders across list entries merge their receiver maps; later
+    entries overwrite earlier ones only where receiver keys collide. This is
+    the combiner for partial results (multi-host partitions, checkpoints).
     """
-    flat = merge_vf_matrix(vf_matrix)
+    if isinstance(vf_matrix, dict):
+        return vf_matrix
+    if not isinstance(vf_matrix, list):
+        raise TypeError("vf_matrix must be a dict or a list of dicts")
+    merged: VFDict = {}
+    for part in vf_matrix:
+        if not isinstance(part, dict):
+            raise TypeError("every element of a vf_matrix list must be a dict")
+        for sender, row in part.items():
+            merged.setdefault(sender, {}).update(row)
+    return merged
 
-    for sender, row in flat.items():
-        if not isinstance(sender, str):
-            raise TypeError("Sender keys must be strings")
-        if not isinstance(row, dict):
-            raise TypeError(f"Row for '{sender}' must be a dict mapping receiver->value")
-        for recv, val in row.items():
-            if not isinstance(recv, str):
-                raise TypeError("Receiver keys must be strings")
-            try:
-                float(val)
-            except Exception:
-                raise TypeError(f"Value for '{sender}'->'{recv}' must be numeric")
 
-    cleaned: VFDict = {}
-    for sender, row in flat.items():
-        pruned: Dict[str, float] = {}
-        for key, value in row.items():
-            value_f = float(value)
-            if value_f == 0.0:
+def save_vf_matrix_json(
+    vf_matrix: VFInput, save_path: str, *, strip_dir: bool = False
+) -> str:
+    """Write a VF matrix (or list of partial matrices) as JSON.
+
+    Exact zeros are pruned; ``strip_dir=True`` folds direction suffixes,
+    summing front/back contributions per base name. Returns the resolved
+    output path (extensionless paths gain ``.json``).
+    """
+    rows = _checked_rows(merge_vf_matrix(vf_matrix), where="vf_matrix")
+    pruned: VFDict = {}
+    for sender, row in rows.items():
+        kept: Dict[str, float] = {}
+        for recv, value in row.items():
+            if value == 0.0:
                 continue
-            out_key = strip_direction(key) if strip_dir else key
-            pruned[out_key] = pruned.get(out_key, 0.0) + value_f
-        cleaned[sender] = pruned
+            key = strip_direction(recv) if strip_dir else recv
+            kept[key] = kept.get(key, 0.0) + value
+        pruned[sender] = kept
 
-    path = _normalize_path(save_path)
-    with path.open("w", encoding="utf-8") as fh:
-        json.dump(cleaned, fh, ensure_ascii=False, indent=2, sort_keys=True)
+    path = _out_path(save_path)
+    path.write_text(
+        json.dumps(pruned, ensure_ascii=False, indent=2, sort_keys=True),
+        encoding="utf-8",
+    )
     return str(path.resolve())
 
 
 def load_vf_matrix_json(load_path: str) -> VFDict:
-    """Load a view-factor matrix JSON file into ``{sender: {recv: float}}``."""
-    path = Path(load_path)
-    if not path.exists():
-        raise FileNotFoundError(f"File not found: {load_path}")
+    """Read a VF matrix JSON file back into ``{sender: {receiver: float}}``."""
+    return _checked_rows(_read_json(load_path), where=load_path)
 
-    with path.open("r", encoding="utf-8") as fh:
-        data = json.load(fh)
-    if not isinstance(data, dict):
-        raise TypeError("Loaded JSON must be a dict of dicts")
 
-    out: VFDict = {}
-    for sender, row in data.items():
-        if not isinstance(sender, str) or not isinstance(row, dict):
-            raise TypeError("Invalid structure: expected {str: {str: number}}")
-        new_row: Dict[str, float] = {}
-        for recv, val in row.items():
-            if not isinstance(recv, str):
-                raise TypeError("Receiver keys must be strings")
-            try:
-                new_row[recv] = float(val)
-            except Exception:
-                raise TypeError(f"Value for '{sender}'->'{recv}' must be numeric")
-        out[sender] = new_row
-    return out
+# ---------------------------------------------------------------------------
+# Mesh geometry
+# ---------------------------------------------------------------------------
 
 
 def save_meshes_json(meshes: Meshes, save_path: str) -> str:
-    """Save ``[(name, V, F), ...]`` meshes to JSON; returns the resolved path."""
+    """Write ``[(name, V, F), ...]`` scene geometry as JSON."""
     if not isinstance(meshes, list):
         raise TypeError("meshes must be a list of (name, V, F) tuples")
-
-    payload = {"meshes": []}
+    records = []
     for item in meshes:
         if not (isinstance(item, tuple) and len(item) == 3):
-            raise TypeError("Each mesh must be a (name, V, F) tuple")
-        name, V, F = item
-        if not isinstance(name, str) or name.strip() == "":
-            raise TypeError("Mesh name must be a non-empty string")
-        V = np.asarray(V, dtype=np.float32)
-        F = np.asarray(F, dtype=np.int32)
-        if V.ndim != 2 or V.shape[1] != 3:
-            raise ValueError(f"Vertices for '{name}' must have shape (N,3)")
-        if F.ndim != 2 or F.shape[1] != 3:
-            raise ValueError(f"Faces for '{name}' must have shape (M,3) of triangles")
-        payload["meshes"].append(
-            {"name": name, "vertices": V.tolist(), "faces": F.tolist()}
-        )
+            raise TypeError("each mesh must be a (name, V, F) tuple")
+        name, V, F = _checked_mesh(*item, where="save_meshes_json")
+        records.append({"name": name, "vertices": V.tolist(), "faces": F.tolist()})
 
-    path = _normalize_path(save_path)
-    with path.open("w", encoding="utf-8") as fh:
-        json.dump(payload, fh, ensure_ascii=False, indent=2)
+    path = _out_path(save_path)
+    path.write_text(
+        json.dumps({"meshes": records}, ensure_ascii=False, indent=2),
+        encoding="utf-8",
+    )
     return str(path.resolve())
 
 
 def load_meshes_json(load_path: str) -> Meshes:
-    """Load meshes saved by :func:`save_meshes_json`.
+    """Read scene geometry written by :func:`save_meshes_json`.
 
-    Returns ``[(name, V, F), ...]`` with float32 vertices, int32 faces.
+    Returns ``[(name, V, F), ...]`` with float32 vertices and int32 faces.
     """
-    path = Path(load_path)
-    if not path.exists():
-        raise FileNotFoundError(f"File not found: {load_path}")
-
-    with path.open("r", encoding="utf-8") as fh:
-        data = json.load(fh)
-    if not isinstance(data, dict) or "meshes" not in data:
-        raise TypeError("Invalid mesh JSON: expected an object with 'meshes' list")
-    meshes_raw = data["meshes"]
-    if not isinstance(meshes_raw, list):
-        raise TypeError("'meshes' must be a list")
-
+    data = _read_json(load_path)
+    if not isinstance(data, dict) or not isinstance(data.get("meshes"), list):
+        raise TypeError(f"{load_path}: expected an object with a 'meshes' list")
     out: Meshes = []
-    for i, entry in enumerate(meshes_raw):
-        if not isinstance(entry, dict):
-            raise TypeError("Each entry in 'meshes' must be an object")
-        name = entry.get("name")
-        if not isinstance(name, str) or name.strip() == "":
-            raise TypeError(f"Entry {i}: 'name' must be a non-empty string")
-        V = np.asarray(entry.get("vertices"), dtype=np.float32)
-        F = np.asarray(entry.get("faces"), dtype=np.int32)
-        if V.ndim != 2 or V.shape[1] != 3:
-            raise ValueError(f"Entry {i} ('{name}'): vertices must have shape (N,3)")
-        if F.ndim != 2 or F.shape[1] != 3:
-            raise ValueError(f"Entry {i} ('{name}'): faces must have shape (M,3)")
-        out.append((name, V, F))
+    for i, record in enumerate(data["meshes"]):
+        if not isinstance(record, dict):
+            raise TypeError(f"{load_path}: meshes[{i}] is not an object")
+        out.append(
+            _checked_mesh(
+                record.get("name"),
+                record.get("vertices"),
+                record.get("faces"),
+                where=f"{load_path}: meshes[{i}]",
+            )
+        )
     return out
 
 

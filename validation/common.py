@@ -1,39 +1,43 @@
 """Shared harness for the validation suite.
 
-Runs the solver with the pinned validation configuration (stderr tolerance
-1e-4, min 40 / max 500 iterations — matching the reference suite's settings,
-reference: validation/common_validation.py:142-158), captures per-emitter
-iteration counts from the injectable progress log, and writes flat pass/fail
-result files into ``validation/results/``.
+The methodology mirrors the reference suite (pinned stderr tolerance 1e-4,
+min 40 / max 500 iterations, iteration counts scraped from the injectable
+progress log — reference: validation/common_validation.py), while the code
+is organized around three small pieces:
+
+- quad/fan mesh builders expressed through one corner-list helper,
+- a solver runner that swaps the log hook and parses ``[name] K iter``,
+- a line-assembling result writer (flat text committed under ``results/``).
 """
 from __future__ import annotations
 
-import json
-import math
-import re
-import sys
-from dataclasses import dataclass
-from pathlib import Path
+import dataclasses
+import json, math, re, sys  # noqa: E401
+import pathlib
 from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 
-REPO_ROOT = Path(__file__).resolve().parents[1]
-RESULTS_ROOT = Path(__file__).resolve().parent / "results"
+_HERE = pathlib.Path(__file__).resolve()
+REPO_ROOT = _HERE.parents[1]
+RESULTS_ROOT = _HERE.parent / "results"
 
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 Mesh = Tuple[str, np.ndarray, np.ndarray]
 
+# Pinned validation configuration (identical to the reference suite's).
+PINNED = dict(seed=11, tol=1.0e-4, tol_mode="stderr", min_iters=40)
 
-@dataclass(frozen=True)
+
+@dataclasses.dataclass(frozen=True)
 class SolverRun:
-    vf: Dict[str, Dict[str, float]]
-    iterations: Dict[str, int]
-    converged_before_max: bool
-    max_iters: int
-    min_iters: int
+    vf: Dict[str, Dict[str, float]]      # solver output row per emitter
+    iterations: Dict[str, int]           # per-emitter iteration counts (log)
+    converged_before_max: bool           # every traced emitter stopped early
+    max_iters: int                       # run configuration, echoed into
+    min_iters: int                       # the committed result files
     tol: float
     tol_mode: str
 
@@ -43,53 +47,46 @@ class SolverRun:
 # ---------------------------------------------------------------------------
 
 
-def rectangle_xy(
-    name: str,
-    width: float,
-    depth: float,
-    z: float,
-    *,
-    normal: int = 1,
-    center: Tuple[float, float] = (0.0, 0.0),
-) -> Mesh:
+def _two_triangle_quad(name: str, corners, flip: bool) -> Mesh:
+    """Mesh from four CCW corners split along the 0-2 diagonal."""
+    V = np.asarray(corners, dtype=np.float32)
+    F = np.asarray([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    if flip:
+        F = F[:, [0, 2, 1]].copy()
+    return name, V, F
+
+
+def rectangle_xy(name: str, width: float, depth: float, z: float, *,
+                 normal: int = 1,
+                 center: Tuple[float, float] = (0.0, 0.0)) -> Mesh:
     """Axis-aligned rectangle in a z=const plane; normal +Z or -Z."""
     cx, cy = center
-    x0, x1 = cx - width / 2.0, cx + width / 2.0
-    y0, y1 = cy - depth / 2.0, cy + depth / 2.0
-    V = np.asarray(
-        [[x0, y0, z], [x1, y0, z], [x1, y1, z], [x0, y1, z]], dtype=np.float32
-    )
-    F = np.asarray([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
-    if normal < 0:
-        F = F[:, [0, 2, 1]].copy()
-    return name, V, F
+    hx, hy = width / 2.0, depth / 2.0
+    corners = [
+        (cx - hx, cy - hy, z),
+        (cx + hx, cy - hy, z),
+        (cx + hx, cy + hy, z),
+        (cx - hx, cy + hy, z),
+    ]
+    return _two_triangle_quad(name, corners, normal < 0)
 
 
-def rectangle_yz(
-    name: str,
-    length_y: float,
-    height_z: float,
-    x: float,
-    *,
-    normal: int = 1,
-    y_center: float = 0.0,
-    z_min: float = 0.0,
-) -> Mesh:
+def rectangle_yz(name: str, length_y: float, height_z: float, x: float, *,
+                 normal: int = 1, y_center: float = 0.0,
+                 z_min: float = 0.0) -> Mesh:
     """Axis-aligned rectangle in an x=const plane; normal +X or -X."""
-    y0, y1 = y_center - length_y / 2.0, y_center + length_y / 2.0
-    z0, z1 = z_min, z_min + height_z
-    V = np.asarray(
-        [[x, y0, z0], [x, y1, z0], [x, y1, z1], [x, y0, z1]], dtype=np.float32
-    )
-    F = np.asarray([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
-    if normal < 0:
-        F = F[:, [0, 2, 1]].copy()
-    return name, V, F
+    hy = length_y / 2.0
+    corners = [
+        (x, y_center - hy, z_min),
+        (x, y_center + hy, z_min),
+        (x, y_center + hy, z_min + height_z),
+        (x, y_center - hy, z_min + height_z),
+    ]
+    return _two_triangle_quad(name, corners, normal < 0)
 
 
-def disk_xy(
-    name: str, radius: float, z: float, *, segments: int = 128, normal: int = 1
-) -> Mesh:
+def disk_xy(name: str, radius: float, z: float, *, segments: int = 128,
+            normal: int = 1) -> Mesh:
     """Triangle-fan disc in a z=const plane."""
     if segments < 8:
         raise ValueError("segments must be >= 8")
@@ -110,60 +107,47 @@ def disk_xy(
 # Solver runner with log capture
 # ---------------------------------------------------------------------------
 
+_ITER_LINE = re.compile(r"\[\s*(?P<name>[^\]]+?)\s*\]\s+(?P<iters>\d+)\s+iter")
 
-def run_solver(
-    meshes: List[Mesh],
-    *,
-    samples: int,
-    rays: int,
-    max_iters: int,
-    seed: int = 11,
-    tol: float = 1.0e-4,
-    min_iters: int = 40,
-    device: str = "auto",
-) -> SolverRun:
+
+def _scrape_iterations(messages: Iterable[str]) -> Dict[str, int]:
+    found: Dict[str, int] = {}
+    for line in messages:
+        hit = _ITER_LINE.search(line)
+        if hit:
+            found[hit.group("name")] = int(hit.group("iters"))
+    return found
+
+
+def run_solver(meshes: List[Mesh], *, samples: int, rays: int,
+               max_iters: int, seed: int = PINNED["seed"],
+               tol: float = PINNED["tol"],
+               min_iters: int = PINNED["min_iters"],
+               device: str = "auto") -> SolverRun:
     import raystrack_tpu.solver as solver_mod
     from raystrack_tpu import MatrixParams, view_factor_matrix
 
-    log_messages: List[str] = []
-    old_log = solver_mod._log
-    solver_mod._log = log_messages.append
-    params = MatrixParams(
-        samples=samples,
-        rays=rays,
-        seed=seed,
-        bvh="builtin",
-        device=device,
-        max_iters=max_iters,
-        min_iters=min_iters,
-        tol=tol,
-        tol_mode="stderr",
-        convergence_interval=1,
-        reciprocity=False,
-        enforce_reciprocity_rowsum=False,
-        flip_faces=False,
-    )
-    try:
-        vf = view_factor_matrix(meshes, params=params)
-    finally:
-        solver_mod._log = old_log
+    config = dict(PINNED, samples=samples, rays=rays, seed=seed, tol=tol,
+                  min_iters=min_iters, max_iters=max_iters, device=device)
+    # fixed execution setup: deterministic accel path, per-iteration checks,
+    # raw (unenforced) rows so analytic comparisons see the MC estimate
+    config.update(bvh="builtin", convergence_interval=1, reciprocity=False,
+                  enforce_reciprocity_rowsum=False, flip_faces=False)
 
-    pattern = re.compile(r"\[\s*(?P<name>[^\]]+?)\s*\]\s+(?P<iters>\d+)\s+iter")
-    iterations = {
-        m.group("name"): int(m.group("iters"))
-        for m in map(pattern.search, log_messages)
-        if m
-    }
-    active = [v for v in iterations.values() if v > 0]
-    return SolverRun(
-        vf=vf,
-        iterations=iterations,
-        converged_before_max=bool(active) and all(v < max_iters for v in active),
-        max_iters=max_iters,
-        min_iters=min_iters,
-        tol=tol,
-        tol_mode="stderr",
-    )
+    captured: List[str] = []
+    previous_log = solver_mod._log
+    solver_mod._log = captured.append
+    try:
+        vf = view_factor_matrix(meshes, params=MatrixParams(**config))
+    finally:
+        solver_mod._log = previous_log
+
+    iterations = _scrape_iterations(captured)
+    traced = [count for count in iterations.values() if count > 0]
+    return SolverRun(vf=vf, iterations=iterations,
+                     converged_before_max=bool(traced) and max(traced) < max_iters,
+                     max_iters=max_iters, min_iters=min_iters, tol=tol,
+                     tol_mode=config["tol_mode"])
 
 
 # ---------------------------------------------------------------------------
@@ -171,56 +155,70 @@ def run_solver(
 # ---------------------------------------------------------------------------
 
 
+_DIR_SUFFIX = re.compile(r"(_front|_back)$")
+
+
 def row_front_to(row: Dict[str, float], receiver: str) -> float:
-    return float(row.get(f"{receiver}_front", row.get(receiver, 0.0)))
+    """Front-direction view factor to ``receiver`` (bare key as fallback)."""
+    value = row.get(receiver + "_front")
+    return float(row.get(receiver, 0.0) if value is None else value)
 
 
 def totals_by_base(row: Dict[str, float]) -> Dict[str, float]:
-    out: Dict[str, float] = {}
+    """Fold _front/_back keys of one row into per-base-name totals."""
+    totals: Dict[str, float] = {}
     for key, value in row.items():
-        base = key[:-6] if key.endswith("_front") else (
-            key[:-5] if key.endswith("_back") else key
-        )
-        out[base] = out.get(base, 0.0) + float(value)
-    return out
+        base = _DIR_SUFFIX.sub("", key)
+        totals[base] = totals.get(base, 0.0) + float(value)
+    return totals
 
 
 def base_matrix(vf: Dict[str, Dict[str, float]]) -> Dict[str, Dict[str, float]]:
     return {sender: totals_by_base(row) for sender, row in vf.items()}
 
 
-def max_abs_pair_diff(
-    left: Dict[str, Dict[str, float]],
-    right: Dict[str, Dict[str, float]],
-    *,
-    names: Iterable[str],
-) -> Tuple[float, Tuple[str, str], float, float]:
-    worst = (-1.0, ("", ""), 0.0, 0.0)
+def _dense(matrix: Dict[str, Dict[str, float]], names: List[str]) -> np.ndarray:
+    return np.array(
+        [[float(matrix.get(s, {}).get(r, 0.0)) for r in names] for s in names]
+    )
+
+
+def max_abs_pair_diff(left: Dict[str, Dict[str, float]],
+                      right: Dict[str, Dict[str, float]], *,
+                      names: Iterable[str],
+                      ) -> Tuple[float, Tuple[str, str], float, float]:
+    """Worst |left - right| over the full sender x receiver grid.
+
+    Returns ``(diff, (sender, receiver), left_value, right_value)``.
+    """
     name_list = list(names)
-    for sender in name_list:
-        for receiver in name_list:
-            lv = float(left.get(sender, {}).get(receiver, 0.0))
-            rv = float(right.get(sender, {}).get(receiver, 0.0))
-            diff = abs(lv - rv)
-            if diff > worst[0]:
-                worst = (diff, (sender, receiver), lv, rv)
-    return worst
+    dl, dr = _dense(left, name_list), _dense(right, name_list)
+    flat = np.abs(dl - dr).argmax()
+    i, j = divmod(int(flat), len(name_list))
+    return (
+        float(abs(dl[i, j] - dr[i, j])),
+        (name_list[i], name_list[j]),
+        float(dl[i, j]),
+        float(dr[i, j]),
+    )
 
 
-def write_case_result(
-    case_name: str,
-    *,
-    description: str,
-    formula: str,
-    analytical: float,
-    solver_value: float,
-    tolerance: float,
-    settings: Dict[str, object],
-    run: SolverRun | None = None,
-) -> Path:
-    RESULTS_ROOT.mkdir(parents=True, exist_ok=True)
+def write_case_result(case_name: str, *, description: str, formula: str,
+                      analytical: float, solver_value: float,
+                      tolerance: float, settings: Dict[str, object],
+                      run: SolverRun | None = None) -> pathlib.Path:
+    """Write the flat pass/fail text record for one validation case.
+
+    The layout (value block, settings block, convergence block with
+    per-emitter iteration counts) is the committed results format — keep it
+    byte-stable across refactors so results stay bitwise reproducible.
+    """
     diff = abs(solver_value - analytical)
-    lines = [
+
+    def block(title: str, pairs, indent: str) -> List[str]:
+        return [title] + [f"{indent}{label}: {value}" for label, value in pairs]
+
+    head = [
         f"case: {case_name}",
         f"description: {description}",
         f"formula: {formula}",
@@ -231,27 +229,31 @@ def write_case_result(
         f"tolerance:     {tolerance:.10f}",
         f"passed:        {diff <= tolerance}",
         "",
-        "settings:",
     ]
-    lines += [f"  {k}: {v}" for k, v in settings.items()]
+    body = block("settings:", settings.items(), "  ")
     if run is not None:
-        lines += [
-            "",
+        body += [""] + block(
             "convergence:",
-            f"  tol_mode: {run.tol_mode}",
-            f"  tol: {run.tol:.10f}",
-            f"  min_iters: {run.min_iters}",
-            f"  max_iters: {run.max_iters}",
-            f"  converged_before_max: {run.converged_before_max}",
-            "  iterations:",
-        ]
-        lines += [f"    {name}: {iters}" for name, iters in run.iterations.items()]
+            [
+                ("tol_mode", run.tol_mode),
+                ("tol", f"{run.tol:.10f}"),
+                ("min_iters", run.min_iters),
+                ("max_iters", run.max_iters),
+                ("converged_before_max", run.converged_before_max),
+            ],
+            "  ",
+        )
+        body += block("  iterations:", run.iterations.items(), "    ")
+
+    RESULTS_ROOT.mkdir(parents=True, exist_ok=True)
     path = RESULTS_ROOT / f"{case_name}.txt"
-    path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    path.write_text("\n".join(head + body) + "\n", encoding="utf-8")
     return path
 
 
-def write_json(path: Path, data: object) -> Path:
+def write_json(path: pathlib.Path, data: object) -> pathlib.Path:
+    """Write pretty sorted JSON, creating parent directories."""
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps(data, indent=2, sort_keys=True), encoding="utf-8")
+    payload = json.dumps(data, indent=2, sort_keys=True)
+    path.write_text(payload, encoding="utf-8")
     return path
