@@ -11,9 +11,14 @@ from examples.ex00_street_canyon_geometry import build_street_canyon
 from raystrack_tpu import MatrixParams, save_vf_matrix_json, view_factor_matrix
 
 
-def main():
+def main(*, out_dir: str | None = None, **overrides):
+    """Solve the canyon matrix and save it.
+
+    ``overrides`` feed straight into MatrixParams (CI runs this end-to-end
+    with tiny sampling); ``out_dir`` redirects the output JSON.
+    """
     meshes = build_street_canyon()
-    params = MatrixParams(
+    config = dict(
         samples=16,
         rays=256,
         seed=7,
@@ -25,15 +30,17 @@ def main():
         min_iters=10,
         reciprocity=True,
     )
-    vf = view_factor_matrix(meshes, params=params)
+    config.update(overrides)
+    vf = view_factor_matrix(meshes, params=MatrixParams(**config))
 
     for name, _, _ in meshes:
         row = vf.get(name, {})
         print(f"{name}: {len(row)} receivers, row sum = {sum(row.values()):.4f}")
 
-    out = Path(__file__).resolve().parent / "vf_matrix.json"
+    out = Path(out_dir or Path(__file__).resolve().parent) / "vf_matrix.json"
     path = save_vf_matrix_json(vf, str(out))
     print(f"Saved view-factor matrix to: {path}")
+    return path
 
 
 if __name__ == "__main__":

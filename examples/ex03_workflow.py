@@ -16,10 +16,16 @@ from raystrack_tpu import (
 )
 
 
-def main():
+def main(*, out_dir: str | None = None, **overrides):
+    """Run the outside workflow on the canyon and save scene/sky outputs.
+
+    ``overrides`` feed the shared sampling config (CI runs this end-to-end
+    with tiny sampling); ``out_dir`` redirects the output JSONs.
+    """
     meshes = build_street_canyon()
     shared = dict(samples=16, rays=256, seed=3, bvh="auto", device="auto",
                   min_iters=10, max_iters=150, tol=1e-4, tol_mode="stderr")
+    shared.update(overrides)
     matrix_params = MatrixParams(**shared, reciprocity=True)
     sky_params = SkyParams(**shared, discrete=False)
 
@@ -35,9 +41,10 @@ def main():
         print(f"{name:16s}  {scene_sum:8.4f}  {sky_sum:8.4f}  {rest:8.4f}"
               f"  {scene_sum + sky_sum + rest:8.4f}")
 
-    here = Path(__file__).resolve().parent
+    here = Path(out_dir or Path(__file__).resolve().parent)
     print("Saved:", save_vf_matrix_json(vf_scene, str(here / "vf_scene_workflow.json")))
     print("Saved:", save_vf_matrix_json(sky_vf, str(here / "sky_vf_workflow.json")))
+    return vf_scene, sky_vf, rest_vf
 
 
 if __name__ == "__main__":

@@ -1,6 +1,12 @@
 """Multi-device sharding and multi-host distribution."""
 from .sharding import ray_mesh, trace_chunk_sharded, RAY_AXIS
-from .distribute import partition_emitters, view_factor_matrix_partition
+from .distribute import (
+    backfill_reciprocity,
+    mesh_area,
+    partition_emitters,
+    view_factor_matrix_partition,
+)
+from .multihost import initialize, view_factor_matrix_multihost
 
 __all__ = [
     "ray_mesh",
@@ -8,4 +14,8 @@ __all__ = [
     "RAY_AXIS",
     "partition_emitters",
     "view_factor_matrix_partition",
+    "backfill_reciprocity",
+    "mesh_area",
+    "initialize",
+    "view_factor_matrix_multihost",
 ]

@@ -43,6 +43,7 @@ def view_factor_matrix_partition(
     part: int,
     prepared: Optional[PreparedSolver] = None,
     mesh=None,
+    half_matrix: bool = False,
 ) -> VFDict:
     """Solve only this worker's emitter subset; merge results across workers.
 
@@ -50,19 +51,58 @@ def view_factor_matrix_partition(
     Combine worker outputs with :func:`raystrack_tpu.merge_vf_matrix` and,
     if desired, apply ``enforce_reciprocity_only`` /
     ``enforce_reciprocity_and_rowsum`` on the merged dict.
+
+    ``half_matrix=True`` keeps the reciprocity work-skip (emitter i traces
+    only receivers j > i) but defers the transpose back-fill to the caller:
+    after merging ALL partitions, apply
+    :func:`backfill_reciprocity` to reproduce the single-process
+    ``reciprocity=True`` result exactly (the skip couples rows across
+    emitters, so per-worker back-fill would be incomplete).
     """
     local = partition_emitters(len(meshes), n_parts, part)
     worker_params = MatrixParams(**params.as_dict())
-    # Half-matrix skip and post-enforcement couple rows across emitters;
-    # both must happen after the merge, not per worker.
+    # Half-matrix back-fill and post-enforcement couple rows across
+    # emitters; both must happen after the merge, not per worker.
     worker_params.reciprocity = False
     worker_params.enforce_reciprocity_rowsum = False
 
     solver = prepared if prepared is not None else PreparedSolver(meshes)
     result: VFDict = {}
     for idx in local:
-        result.update(_solve_single_emitter(meshes, idx, worker_params, solver, mesh))
+        result.update(
+            _solve_single_emitter(
+                meshes, idx, worker_params, solver, mesh, half_matrix=half_matrix
+            )
+        )
     return result
+
+
+def mesh_area(V: np.ndarray, F: np.ndarray) -> float:
+    """Total triangle area of one mesh (matches prepare_emitters' CDF area)."""
+    a = np.asarray(V[F[:, 0]], dtype=np.float32)
+    e1 = np.asarray(V[F[:, 1]], dtype=np.float32) - a
+    e2 = np.asarray(V[F[:, 2]], dtype=np.float32) - a
+    return float((0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)).sum())
+
+
+def backfill_reciprocity(merged: VFDict, meshes: List[Mesh]) -> VFDict:
+    """Fill F(j->i) = F(i->j) * A_i / A_j for the untraced lower half.
+
+    The post-merge counterpart of the single-process solver's in-loop
+    back-fill (solver.view_factor_matrix assembly): apply to the merged
+    output of ``half_matrix=True`` partitions. In-place; returns ``merged``.
+    """
+    areas = [mesh_area(V, F) for _, V, F in meshes]
+    for i, (name_i, _, _) in enumerate(meshes):
+        row = merged.get(name_i, {})
+        for j in range(i + 1, len(meshes)):
+            name_j = meshes[j][0]
+            f = row.get(f"{name_j}_front", 0.0)
+            if f > 0.0 and areas[j] > 0.0:
+                merged.setdefault(name_j, {})[f"{name_i}_front"] = (
+                    f * (areas[i] / areas[j])
+                )
+    return merged
 
 
 def _solve_single_emitter(
@@ -71,8 +111,10 @@ def _solve_single_emitter(
     params: MatrixParams,
     prepared: PreparedSolver,
     mesh,
+    *,
+    half_matrix: bool = False,
 ) -> VFDict:
-    """One emitter's row against the full scene (no reciprocity skip)."""
+    """One emitter's row against the full scene."""
     from ..solver import (
         _EmitterRun,
         _build_emitter_surface_mask,
@@ -91,7 +133,7 @@ def _solve_single_emitter(
     device = _resolve_device(p["device"])
     use_bvh = _select_bvh(p["bvh"], prepared.total_faces)
     pack_dev, ray_dev = _placements(mesh, device)
-    kernel, interpret = _resolve_kernel(device, mesh)
+    kernel, interpret = _resolve_kernel(device, mesh, prepared.total_faces)
     scene_pack = prepared.get_scene_pack(use_accel=use_bvh, device=pack_dev)
     align = _ray_align(mesh)
     emitters = prepared.get_emitters(
@@ -103,11 +145,13 @@ def _solve_single_emitter(
     name_e = meshes[idx_emit][0]
     emitter = emitters[idx_emit]
     surf_active = _build_emitter_surface_mask(idx_emit, emitter, centers, extents)
-    receivers, recv_idx = _matrix_active_receivers(idx_emit, n_surf, False, surf_active)
+    receivers, recv_idx = _matrix_active_receivers(
+        idx_emit, n_surf, half_matrix, surf_active
+    )
     if not receivers:
         return {name_e: {}}
 
-    emit_sid, min_sid = _matrix_skip(idx_emit, False)
+    emit_sid, min_sid = _matrix_skip(idx_emit, half_matrix)
     em_pack = prepared.get_emitter_pack(
         idx_emit, samples=p["samples"], rays=p["rays"],
         flip_faces=p["flip_faces"], align=align,
@@ -140,4 +184,9 @@ def _solve_single_emitter(
     return {name_e: row}
 
 
-__all__ = ["partition_emitters", "view_factor_matrix_partition"]
+__all__ = [
+    "partition_emitters",
+    "view_factor_matrix_partition",
+    "backfill_reciprocity",
+    "mesh_area",
+]

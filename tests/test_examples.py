@@ -60,3 +60,38 @@ def test_city_builder():
     meshes = mod.build_city(grid=3)
     assert len(meshes) == 3 * 3 * 5 + 1
     assert meshes[-1][0] == "ground"
+
+
+def test_ex01_runs_end_to_end(tmp_path, capsys):
+    """ex01's full body executes (tiny sampling): the output JSON parses and
+    every row sums to a sane fraction."""
+    import json
+
+    mod = importlib.import_module("examples.ex01_compute_vf")
+    path = mod.main(out_dir=str(tmp_path), samples=2, rays=16,
+                    max_iters=3, min_iters=2, tol=1e-2)
+    data = json.loads(Path(path).read_text())
+    assert len(data) == 11
+    for name, row in data.items():
+        total = sum(row.values())
+        assert 0.0 <= total <= 1.0 + 1e-6, (name, total)
+    assert "Saved view-factor matrix" in capsys.readouterr().out
+
+
+def test_ex03_runs_end_to_end(tmp_path):
+    """ex03's workflow executes end-to-end and scene+sky+rest == 1."""
+    import json
+
+    mod = importlib.import_module("examples.ex03_workflow")
+    vf_scene, sky_vf, rest_vf = mod.main(
+        out_dir=str(tmp_path), samples=2, rays=16,
+        max_iters=3, min_iters=2, tol=1e-2,
+    )
+    scene_file = json.loads((tmp_path / "vf_scene_workflow.json").read_text())
+    sky_file = json.loads((tmp_path / "sky_vf_workflow.json").read_text())
+    assert set(scene_file) == set(sky_file)
+    for name in rest_vf:
+        total = (sum(vf_scene.get(name, {}).values())
+                 + sum(sky_vf.get(name, {}).values())
+                 + rest_vf[name]["Rest"])
+        assert abs(total - 1.0) < 1e-9, (name, total)
