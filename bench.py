@@ -6,11 +6,17 @@ Prints ONE JSON line:
    "vs_baseline": N / 1e9, ...}
 
 The baseline north star is 1e9 ray-triangle tests/sec/chip (BASELINE.json).
-The workload is the fused solve step (raygen + Möller-Trumbore sweep +
-histogram) on a synthetic scene sized so padding is zero: every counted
-test is a real intersection test. Also reports the street-canyon full-solve
-wall clock and its max |dF| against the analytical parallel-plates value as
-secondary sanity fields.
+The headline workload is the fused solve step (raygen + Möller-Trumbore
+sweep + histogram) on a synthetic scene sized so padding is zero: every
+counted test is a real intersection test.
+
+Secondary fields keep the headline honest:
+- ``occluded_city``: user-visible rays/s on dense occluded city scenes at
+  1e4/1e5/1e6 triangles, with acceleration (AABB-gated, coherence-sorted
+  sweep) and brute force — hit counts are asserted identical.
+- ``canyon_solve_s``: warm full-solve wall clock of the 22-triangle street
+  canyon (dispatch-overhead regime; driven by the scheduled driver).
+- ``parallel_plates_abs_err``: accuracy anchor vs the analytical value.
 """
 from __future__ import annotations
 
@@ -40,13 +46,42 @@ CHUNK = 4
 REPS = 5
 
 
-def _bench_scene():
-    """Emitter plate + an (N_TRI - 2)-triangle cloud above it."""
+def _force(out) -> int:
+    # block_until_ready is not reliable on every platform plugin; a
+    # device-to-host copy of the (tiny) count vectors is a hard sync.
+    return int(np.asarray(out["counts_f"]).sum())
+
+
+def _run_chunk(ps: PreparedSolver, *, accel: bool, seed: int, chunk: int,
+               samples: int, rays: int):
+    scene = ps.get_scene_pack(use_accel=accel)
+    em = ps.get_emitter_pack(0, samples=samples, rays=rays, flip_faces=False)
+    n_surf = len(ps.meshes)
+    ext = np.zeros(n_surf + 1, dtype=np.int32)
+    ext[1:-1] = 1  # everything but the emitter is a receiver
+    cp = _cp_rows(seed, 0, 0, chunk).astype(np.float32)
+    out = trace_chunk(
+        (scene.v0, scene.e1, scene.e2, scene.cross_e,
+         scene.w_u, scene.w_v, scene.d0, scene.sid),
+        (em.u_cell, em.v_cell, em.h_tri, em.h_u, em.h_v, em.h_r1, em.h_r2),
+        (em.cdf, em.tri_a, em.tri_e1, em.tri_e2,
+         em.tri_u, em.tri_v, em.tri_n, em.tri_eps),
+        cp, ext, np.int32(0), np.int32(0), np.int32(em.n_rays_once),
+        None, scene.accel,
+        ray_block=min(PALLAS_RAY_BLOCK, em.n_rays_pad),
+        tri_tile=PALLAS_TRI_TILE,
+        want_matrix=True, want_any=False, discrete=False,
+        kernel="pallas",
+    )
+    return out, em, scene
+
+
+def _bench_soup():
+    """Emitter plate + an (N_TRI - 2)-triangle cloud above it (peak regime:
+    sparse cloud, nothing prunable, pure pair-test throughput)."""
     h = 8.0
     V = np.array([[-h, -h, 0], [h, -h, 0], [h, h, 0], [-h, h, 0]], np.float32)
     F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
-    emitter = ("emitter", V, F)
-
     rng = np.random.default_rng(0)
     n_cloud = N_TRI - 2
     centers = rng.uniform([-8, -8, 2], [8, 8, 30], size=(n_cloud, 3))
@@ -55,88 +90,77 @@ def _bench_scene():
         [centers, centers + spans[:, 0], centers + spans[:, 1]], axis=1
     ).reshape(-1, 3).astype(np.float32)
     Fc = np.arange(n_cloud * 3, dtype=np.int32).reshape(-1, 3)
-    return [emitter, ("cloud", Vc, Fc)]
+    return [("emitter", V, F), ("cloud", Vc, Fc)]
 
 
-def main():
-    meshes = _bench_scene()
-    ps = PreparedSolver(meshes)
-    scene = ps.get_scene_pack()
-    em = ps.get_emitter_pack(
-        0, samples=SAMPLES, rays=RAYS_PER_CELL, flip_faces=False
-    )
-    ext = np.array([0, 1, 0], dtype=np.int32)  # only 'cloud' active
+def _city(n_tri: int, extent: float = 100.0, seed: int = 0):
+    """Ground emitter + dense random boxes: near geometry occludes far."""
+    V = np.array([[-extent, -extent, 0], [extent, -extent, 0],
+                  [extent, extent, 0], [-extent, extent, 0]], np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    n_boxes = max(1, (n_tri - 2) // 12)
+    rng = np.random.default_rng(seed)
+    cx = rng.uniform(-extent, extent, (n_boxes, 2))
+    w = rng.uniform(1.0, 4.0, (n_boxes, 2))
+    h = rng.uniform(2.0, 25.0, n_boxes)
+    box_f = np.array([[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],
+                      [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],
+                      [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0]], np.int32)
+    verts, faces = [], []
+    for i in range(n_boxes):
+        x0, y0 = cx[i] - w[i]
+        x1, y1 = cx[i] + w[i]
+        vs = np.array([[x0, y0, 0.05], [x1, y0, 0.05], [x1, y1, 0.05],
+                       [x0, y1, 0.05], [x0, y0, h[i]], [x1, y0, h[i]],
+                       [x1, y1, h[i]], [x0, y1, h[i]]], np.float32)
+        verts.append(vs)
+        faces.append(box_f + 8 * i)
+    return [("ground", V, F), ("city", np.concatenate(verts), np.concatenate(faces))]
 
-    def run(seed: int):
-        # fresh CP offsets per repetition so no layer can reuse a previous
-        # dispatch's result
-        cp = _cp_rows(seed, 0, 0, CHUNK).astype(np.float32)
-        return trace_chunk(
-            (scene.v0, scene.e1, scene.e2, scene.cross_e,
-             scene.w_u, scene.w_v, scene.d0, scene.sid),
-            (em.u_cell, em.v_cell, em.h_tri, em.h_u, em.h_v, em.h_r1, em.h_r2),
-            (em.cdf, em.tri_a, em.tri_e1, em.tri_e2,
-             em.tri_u, em.tri_v, em.tri_n, em.tri_eps),
-            cp,
-            ext,
-            np.int32(0),
-            np.int32(0),
-            np.int32(em.n_rays_once),
-            ray_block=PALLAS_RAY_BLOCK,
-            tri_tile=PALLAS_TRI_TILE,
-            want_matrix=True,
-            want_any=False,
-            discrete=False,
-            kernel="pallas",
-        )
 
-    def force(out) -> int:
-        # block_until_ready is not reliable on every platform plugin; a
-        # device-to-host copy of the (tiny) count vectors is a hard sync.
-        return int(np.asarray(out["counts_f"]).sum())
-
-    # warmup / compile
-    force(run(0))
-
+def _headline():
+    ps = PreparedSolver(_bench_soup())
+    run = lambda seed: _run_chunk(ps, accel=False, seed=seed, chunk=CHUNK,
+                                  samples=SAMPLES, rays=RAYS_PER_CELL)
+    out, em, scene = run(0)
+    _force(out)  # warmup / compile
     times = []
     for rep in range(REPS):
         t0 = time.perf_counter()
-        force(run(rep + 1))
+        _force(run(rep + 1)[0])
         times.append(time.perf_counter() - t0)
     best = min(times)
-
     tests = CHUNK * em.n_rays_pad * scene.n_tri_pad
-    tests_per_sec = tests / best
-    rays_per_sec = CHUNK * em.n_rays_pad / best
-
-    # secondary: canyon solve wall clock (warm) + analytical error.
-    # Best-effort: the headline JSON line must print even if the secondary
-    # solves hit a cold compilation cache or a transient device error.
-    try:
-        canyon_s, max_df = _canyon_secondary()
-    except Exception as exc:  # pragma: no cover - environment dependent
-        print(f"# canyon secondary skipped: {type(exc).__name__}: {exc}")
-        canyon_s, max_df = None, None
-
-    print(
-        json.dumps(
-            {
-                "metric": "ray_triangle_tests_per_sec",
-                "value": round(tests_per_sec),
-                "unit": "tests/s",
-                "vs_baseline": round(tests_per_sec / 1.0e9, 3),
-                "rays_per_sec": round(rays_per_sec),
-                "n_tri": int(scene.n_tri_pad),
-                "rays_per_dispatch": int(CHUNK * em.n_rays_pad),
-                "device": str(jax.devices()[0]),
-                "canyon_solve_s": canyon_s,
-                "parallel_plates_abs_err": max_df,
-            }
-        )
-    )
+    return tests / best, CHUNK * em.n_rays_pad / best, scene.n_tri_pad, em
 
 
-def _canyon_secondary():
+def _city_curve():
+    """rays/s on occluded scenes, acceleration vs brute force."""
+    points = {}
+    for n_tri in (10_000, 100_000, 1_000_000):
+        entry = {}
+        hits = {}
+        ps = PreparedSolver(_city(n_tri))
+        for accel in (False, True):
+            run = lambda seed: _run_chunk(ps, accel=accel, seed=seed,
+                                          chunk=2, samples=1, rays=2)
+            out, em, _ = run(0)
+            hits[accel] = _force(out)  # warmup + hit checksum
+            times = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                _force(run(rep + 1)[0])
+                times.append(time.perf_counter() - t0)
+            entry["accel" if accel else "brute"] = round(
+                2 * em.n_rays_pad / min(times)
+            )
+        assert hits[False] == hits[True], "acceleration changed hit counts!"
+        entry["speedup"] = round(entry["accel"] / entry["brute"], 2)
+        points[str(n_tri)] = entry
+    return points
+
+
+def _canyon_and_plates():
     from examples.ex00_street_canyon_geometry import build_street_canyon
     from raystrack_tpu import MatrixParams, view_factor_matrix
 
@@ -147,7 +171,6 @@ def _canyon_secondary():
     view_factor_matrix(meshes, params=params)
     canyon_s = round(time.perf_counter() - t0, 3)
 
-    # analytical: two parallel unit squares, gap 1
     def square(name, z, flip):
         V = np.array(
             [[-0.5, -0.5, z], [0.5, -0.5, z], [0.5, 0.5, z], [-0.5, 0.5, z]],
@@ -168,6 +191,41 @@ def _canyon_secondary():
     )
     err = abs(vf["bottom"]["top_front"] - 0.1998248957)
     return canyon_s, round(err, 8)
+
+
+def main():
+    tests_per_sec, rays_per_sec, n_tri_pad, em = _headline()
+
+    # Secondary blocks are best-effort: the headline JSON line must print
+    # even if a secondary hits a cold cache or transient device error.
+    try:
+        city = _city_curve()
+    except Exception as exc:  # pragma: no cover - environment dependent
+        print(f"# city curve skipped: {type(exc).__name__}: {exc}")
+        city = None
+    try:
+        canyon_s, max_df = _canyon_and_plates()
+    except Exception as exc:  # pragma: no cover - environment dependent
+        print(f"# canyon secondary skipped: {type(exc).__name__}: {exc}")
+        canyon_s, max_df = None, None
+
+    print(
+        json.dumps(
+            {
+                "metric": "ray_triangle_tests_per_sec",
+                "value": round(tests_per_sec),
+                "unit": "tests/s",
+                "vs_baseline": round(tests_per_sec / 1.0e9, 3),
+                "rays_per_sec": round(rays_per_sec),
+                "n_tri": int(n_tri_pad),
+                "rays_per_dispatch": int(CHUNK * em.n_rays_pad),
+                "occluded_city_rays_per_sec": city,
+                "device": str(jax.devices()[0]),
+                "canyon_solve_s": canyon_s,
+                "parallel_plates_abs_err": max_df,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -75,9 +75,10 @@ SCHEDULER = os.environ.get("RAYSTRACK_TPU_SCHEDULER", "auto").lower()
 PALLAS_MIN_TRIS = _env_int("RAYSTRACK_TPU_PALLAS_MIN_TRIS", 512)
 PALLAS_MAX_TRIS = _env_int("RAYSTRACK_TPU_PALLAS_MAX_TRIS", 32768)
 
-# Pallas sweep tiling (measured optimum on v5e: 512 x 2048; ray blocks of
-# 1024+ overflow VMEM and fail to compile).
-PALLAS_RAY_BLOCK = _env_int("RAYSTRACK_TPU_PALLAS_RAY_BLOCK", 512)
+# Pallas sweep tiling (measured optimum on v5e: 256 x 2048 — best at peak
+# AND tighter ray blocks make the AABB gate fire more often on occluded
+# scenes; ray blocks of 1024+ overflow VMEM and fail to compile).
+PALLAS_RAY_BLOCK = _env_int("RAYSTRACK_TPU_PALLAS_RAY_BLOCK", 256)
 PALLAS_TRI_TILE = _env_int("RAYSTRACK_TPU_PALLAS_TRI_TILE", 2048)
 
 __all__ = [

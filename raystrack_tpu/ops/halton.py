@@ -20,17 +20,41 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _digit_count(max_index: int, base: int) -> int:
+    """Digits needed to represent every index up to ``max_index`` in ``base``."""
+    k, bound = 1, base
+    while bound <= max_index:
+        k += 1
+        bound *= base
+    return k
+
+
 def radical_inverse(indices: np.ndarray, base: int) -> np.ndarray:
-    """Vectorized van der Corput radical inverse in the given base (float64)."""
+    """Vectorized van der Corput radical inverse in the given base (float64).
+
+    Computed exactly: the radical inverse of an integer with K base-b digits
+    is the rational ``reverse_digits(n) / b**K``. For indices < 2**31 both
+    numerator and denominator stay below 2**53, so the single f64 division
+    yields the CORRECTLY ROUNDED radical inverse — at least as accurate as
+    the reference's sequential f64 accumulation (reference:
+    src/raystrack/utils/halton.py:9-20), and bit-reproducible across the
+    host and device builders (they share the same integer reversal).
+    """
     idx = np.asarray(indices, dtype=np.int64)
-    result = np.zeros(idx.shape, dtype=np.float64)
-    scale = 1.0
+    if idx.size == 0:
+        return np.zeros(idx.shape, dtype=np.float64)
+    max_index = int(idx.max())
+    if max_index >= 1 << 31:
+        raise ValueError("radical_inverse supports indices < 2**31")
+    k = _digit_count(max_index, base)
+    rev = np.zeros(idx.shape, dtype=np.int64)
     remaining = idx.copy()
-    while np.any(remaining):
-        scale /= base
-        result += scale * (remaining % base)
+    for _ in range(k):
+        rev = rev * base + remaining % base
         remaining //= base
-    return result
+    # base**k in exact integer arithmetic first: < 2**53, so the float is
+    # exact and the division rounds once
+    return rev / float(base**k)
 
 
 def _table_cache_dir() -> Optional[Path]:
@@ -52,6 +76,54 @@ def _table_cache_dir() -> Optional[Path]:
 # tables below this length build in well under a second; don't touch disk
 _DISK_CACHE_MIN_LENGTH = 4_000_000
 
+# tables at least this long build their digit reversal on the accelerator
+# (huge emitters need tens of millions of entries per dimension; the host
+# build is single-core). 0/1 via RAYSTRACK_TPU_DEVICE_HALTON forces off/on.
+_DEVICE_MIN_LENGTH = 2_000_000
+
+
+def _device_halton_enabled(length: int) -> bool:
+    raw = os.environ.get("RAYSTRACK_TPU_DEVICE_HALTON", "auto").lower()
+    if raw in ("0", "off", "false"):
+        return False
+    if raw in ("1", "on", "true"):
+        return True
+    return length >= _DEVICE_MIN_LENGTH
+
+
+def _radical_inverse_device(length: int, base: int) -> Optional[np.ndarray]:
+    """Digit-reversed integers for indices 1..length, computed on device.
+
+    The reversal is pure int64 arithmetic (exact on TPU via 32-bit pairs,
+    enabled with the local x64 context); the final exact f64 division runs
+    on host, so device and host tables are BITWISE identical. Returns None
+    when no accelerator is available (callers fall back to the host build).
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() == "cpu":
+            return None
+
+        k = _digit_count(length, base)
+
+        with jax.enable_x64():
+
+            @jax.jit
+            def reverse_digits(n):
+                rev = jnp.zeros_like(n)
+                for _ in range(k):
+                    rev = rev * base + n % base
+                    n = n // base
+                return rev
+
+            rev = reverse_digits(jnp.arange(1, length + 1, dtype=jnp.int64))
+            host = np.asarray(rev, dtype=np.int64)
+        return host / float(base**k)
+    except Exception:
+        return None  # any device/backend issue -> host build
+
 
 def _halton_dim(length: int, base: int) -> np.ndarray:
     """First ``length`` Halton values in ``base`` (indices 1..length), f32."""
@@ -65,9 +137,14 @@ def _halton_dim(length: int, base: int) -> np.ndarray:
                     return arr
             except Exception:
                 pass
-    arr = radical_inverse(np.arange(1, length + 1, dtype=np.int64), base).astype(
-        np.float32
+    values = (
+        _radical_inverse_device(length, base)
+        if _device_halton_enabled(length)
+        else None
     )
+    if values is None:
+        values = radical_inverse(np.arange(1, length + 1, dtype=np.int64), base)
+    arr = values.astype(np.float32)
     if cache_dir is not None:
         # per-process tmp name: concurrent builders of the same table must
         # not interleave writes into one tmp file before the atomic publish
