@@ -621,6 +621,128 @@ def scheduled_trace(
     return jax.lax.map(run_block, schedule)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sched_block", "ray_block", "tri_tile", "want_matrix", "want_any",
+        "discrete", "interpret",
+    ),
+)
+def scheduled_trace_pallas(
+    scene: Tuple,
+    tables_flat: Tuple,  # 7 x (N_flat,) concatenated per-emitter tables
+    geom_stacked: Tuple,  # 8 x (E, Fmax[, 3]) padded per-emitter geometry
+    cp: jnp.ndarray,  # (R, 7) CP rows, indexed by the schedule
+    surf_active_ext: jnp.ndarray,  # (E, S+1) — compacted per-round subset
+    emit_sid: jnp.ndarray,  # (E,)
+    min_sid: jnp.ndarray,  # (E,)
+    n_rays_once: jnp.ndarray,  # (E,)
+    plane_vec: jnp.ndarray,  # (E, 8)
+    schedule: jnp.ndarray,  # (nb, 4) i32: [emitter_row, cp_row, table_off, ray_base]
+    accel=None,  # optional (tile_lo, tile_hi) at ACCEL_GRAIN granularity
+    *,
+    sched_block: int,  # rays per schedule row (the driver's RAY_BLOCK)
+    ray_block: int,  # Pallas grid block (divides sched_block)
+    tri_tile: int,
+    want_matrix: bool,
+    want_any: bool,
+    discrete: bool,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Pallas variant of :func:`scheduled_trace`: one dispatch per convergence
+    round AND the fused AABB-gated sweep kernel.
+
+    Raygen runs vectorized over the schedule rows, rays are materialized
+    once (the driver caps the round's ray budget accordingly), and the
+    multi-emitter sweep (ops.trace_pallas.sweep_rays_scheduled) selects each
+    block's eligibility masks through the scalar-prefetched emitter map.
+    Returns the same per-block histogram contract as :func:`scheduled_trace`.
+    """
+    from .trace_pallas import build_tri_pack, sweep_rays_scheduled
+
+    nb = schedule.shape[0]
+    n_emit = surf_active_ext.shape[0]
+    n_surf = surf_active_ext.shape[1] - 1
+
+    def emitter_masks(e):
+        return compute_masks(
+            scene, surf_active_ext[e], emit_sid[e], min_sid[e], plane_vec[e]
+        )
+
+    m_any_all, m_mat_all = jax.vmap(emitter_masks)(
+        jnp.arange(n_emit, dtype=jnp.int32)
+    )
+    # combined rows: m_any + m_mat in {0, 1, 2} (m_mat is a subset of m_any)
+    masks = m_any_all.astype(jnp.float32) + m_mat_all.astype(jnp.float32)
+
+    def gen_row(row):
+        e = row[0]
+        tb = tuple(
+            jax.lax.dynamic_slice_in_dim(t, row[2], sched_block, axis=0)
+            for t in tables_flat
+        )
+        geom_e = tuple(
+            jax.lax.dynamic_index_in_dim(g, e, axis=0, keepdims=False)
+            for g in geom_stacked
+        )
+        o, d = generate_rays(tb, geom_e, cp[row[1]])
+        valid = row[3] + jnp.arange(sched_block, dtype=jnp.int32) < n_rays_once[e]
+        return o, d, valid
+
+    o, d, ray_valid = jax.vmap(gen_row)(schedule)  # (nb, SB, 3) / (nb, SB)
+    if accel is not None:
+        # Coherence sort within each schedule row (rows never mix emitters),
+        # so the block-level AABB gate sees tight ray bundles. Histograms
+        # are permutation-invariant per row: results unchanged.
+        scene_lo = jnp.min(accel[0], axis=0)
+        scene_hi = jnp.max(accel[1], axis=0)
+        o, d, ray_valid = sort_rays_for_coherence(
+            o, d, ray_valid, scene_lo=scene_lo, scene_hi=scene_hi
+        )
+    rays9 = jnp.concatenate(
+        [o, d, jnp.cross(o, d)], axis=-1
+    ).reshape(nb * sched_block, 9)
+
+    zeros_mask = jnp.zeros_like(scene[7], dtype=bool)
+    tri_pack = build_tri_pack(scene, zeros_mask, zeros_mask)
+    emap = jnp.repeat(schedule[:, 0], sched_block // ray_block)
+    codes, any_hit = sweep_rays_scheduled(
+        rays9, tri_pack, masks, emap,
+        ray_block=ray_block, tri_tile=tri_tile,
+        want_matrix=want_matrix, want_any=want_any,
+        interpret=interpret, accel=accel,
+    )
+    codes = codes.reshape(nb, sched_block)
+    any_hit = any_hit.reshape(nb, sched_block) > 0
+
+    out: Dict[str, jnp.ndarray] = {}
+    if want_matrix:
+        codes = jnp.where(ray_valid, codes, -1)
+
+        def count_code(target):
+            return jnp.sum(codes == target, axis=1, dtype=jnp.int32)
+
+        targets_b = jnp.arange(n_surf, dtype=jnp.int32) * 2
+        out["counts_b"] = jax.lax.map(count_code, targets_b).T
+        out["counts_f"] = jax.lax.map(count_code, targets_b + 1).T
+    if want_any:
+        miss = ~any_hit & ray_valid
+        dz = d[..., 2]
+        if discrete:
+            pid = tregenza_patch_id(d[..., 0], d[..., 1], dz)
+            pid = jnp.where(miss, pid, -1)
+
+            def count_bin(b):
+                return jnp.sum(pid == b, axis=1, dtype=jnp.int32)
+
+            out["sky_bins"] = jax.lax.map(
+                count_bin, jnp.arange(TREGENZA_BINS, dtype=jnp.int32)
+            ).T
+        else:
+            out["upward"] = jnp.sum(miss & (dz > 0.0), axis=1, dtype=jnp.int32)
+    return out
+
+
 def chunk_body_pallas(
     scene: Tuple,
     tables: Tuple,
@@ -778,6 +900,7 @@ __all__ = [
     "chunk_body",
     "chunk_body_pallas",
     "scheduled_trace",
+    "scheduled_trace_pallas",
     "trace_chunk",
     "plan_tiles",
     "INF",

@@ -33,6 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 INF = 1.0e20
 TRI_ROWS = 24  # 19 used, padded to a sublane multiple
 
+# Scalar-memory budget (entries) for the scheduled sweep's per-emitter tile
+# activity table; past it the table collapses to the union over emitters
+# (conservative, results unchanged — extra tiles run fully-masked pair math).
+SCHED_TILES_SMEM_BUDGET = 65536
+
 ROW_CE = 0
 ROW_E1 = 3
 ROW_E2 = 6
@@ -75,16 +80,26 @@ def _ray_columns(rays_ref):
     return tuple(col(j) for j in range(9))
 
 
-def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool):
+def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool,
+               m_any_row=None, m_mat_row=None):
     """One triangle-tile of the Möller-Trumbore sweep.
 
     ``rays`` are the 9 (B, 1) ray columns, ``row(r)`` yields the (1, T)
     operand row r of the current tile (VMEM-resident slice or DMA buffer),
     and ``carry`` is the running (best_t, best_code, any_hit). Shared by the
     resident and HBM-streaming kernels so the intersection math exists once.
+
+    The eligibility masks default to the operand pack's baked-in rows;
+    the scheduled kernels (one dispatch spanning many emitters) override
+    them with ``m_any_row``/``m_mat_row`` getters reading per-emitter mask
+    arrays instead.
     """
     ox, oy, oz, dx, dy, dz, cx, cy, cz = rays
     best_t, best_code, any_hit = carry
+    if m_any_row is None:
+        m_any_row = lambda: row(ROW_MASK_ANY)
+    if m_mat_row is None:
+        m_mat_row = lambda: row(ROW_MASK_MAT)
 
     # det = -(d . cross_e); t_num = o . cross_e - d0
     ce_x, ce_y, ce_z = row(ROW_CE), row(ROW_CE + 1), row(ROW_CE + 2)
@@ -117,11 +132,13 @@ def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool):
     )
 
     if want_any:
-        blocked = valid & (row(ROW_MASK_ANY) > 0.0)
-        any_hit = any_hit | jnp.any(blocked, axis=1, keepdims=True)
+        blocked = valid & (m_any_row() > 0.0)
+        any_hit = jnp.maximum(
+            any_hit, jnp.any(blocked, axis=1, keepdims=True).astype(jnp.int32)
+        )
 
     if want_matrix:
-        t_masked = jnp.where(valid & (row(ROW_MASK_MAT) > 0.0), t_hit, INF)
+        t_masked = jnp.where(valid & (m_mat_row() > 0.0), t_hit, INF)
         tile_best = jnp.min(t_masked, axis=1, keepdims=True)
         codes = row(ROW_CODE).astype(jnp.int32) + (det > 0.0).astype(jnp.int32)
         code_masked = jnp.where(t_masked == tile_best, codes, jnp.int32(2**30))
@@ -134,8 +151,11 @@ def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool):
 
 
 def _sweep_init(dx):
+    # any_hit is carried as int32 0/1, NOT bool: Mosaic cannot legalize an
+    # i1-vector loop carry (scf.for relayout of the packed mask layout fails
+    # to compile), and an i32 flag folds identically.
     zero = dx * 0.0  # (B, 1), inherits any shard_map variance
-    return (zero + INF, zero.astype(jnp.int32) - 1, zero > 0.0)
+    return (zero + INF, zero.astype(jnp.int32) - 1, zero.astype(jnp.int32))
 
 
 def _ray_inv(rays):
@@ -182,7 +202,7 @@ def _gate_needed(rays, inv, aabb_ref, i, carry, *, want_matrix, want_any):
     if want_matrix:
         need = hit_box & (near_c < best_t)
     if want_any:
-        need = need | (hit_box & ~any_hit)
+        need = need | (hit_box & (any_hit == 0))
     return jnp.any(need)
 
 
@@ -217,7 +237,7 @@ def _sweep_kernel(
         0, n_tiles, guarded_body, _sweep_init(rays[3])
     )
     code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
-    any_ref[:, :] = any_hit.astype(jnp.int32)
+    any_ref[:, :] = any_hit
 
 
 def _sweep_kernel_streamed(
@@ -282,13 +302,301 @@ def _sweep_kernel_streamed(
             0, n_tiles, tile_body, _sweep_init(rays[3])
         )
         code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
-        any_ref[:, :] = any_hit.astype(jnp.int32)
+        any_ref[:, :] = any_hit
 
     pl.run_scoped(
         body,
         pltpu.VMEM((2, TRI_ROWS, tri_tile), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     )
+
+
+def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
+                 tile: int):
+    """(aabb SMEM table, per-block near-to-far visit order) for the gate.
+
+    ``accel`` is the ACCEL_GRAIN-granularity (tile_lo, tile_hi) pair from
+    prepared.pack_scene; boxes reduce to the sweep tile width. Visit order
+    sorts tiles by squared distance from each ray block's mean origin so
+    best_t shrinks early and far tiles get pruned. ``order`` comes back
+    padded to 8-row blocks (Mosaic sublane-divisibility).
+    """
+    from ..config import ACCEL_GRAIN
+
+    per = tile // ACCEL_GRAIN
+    lo = jnp.min(accel[0].reshape(n_tiles, per, 3), axis=1)
+    hi = jnp.max(accel[1].reshape(n_tiles, per, 3), axis=1)
+    # (8, n_tiles) row-per-field: [lo_x..lo_z, hi_x..hi_z, pad, pad]
+    aabb = jnp.concatenate(
+        [lo.T, hi.T, jnp.zeros((2, n_tiles), jnp.float32)], axis=0
+    )
+    cent = jnp.mean(rays[:, :3].reshape(n_blocks, ray_block, 3), axis=1)
+    gap = jnp.maximum(
+        jnp.maximum(lo[None, :, :] - cent[:, None, :],
+                    cent[:, None, :] - hi[None, :, :]),
+        0.0,
+    )
+    order = jnp.argsort(jnp.sum(gap * gap, axis=2), axis=1).astype(jnp.int32)
+    n_blocks_pad = ((n_blocks + 7) // 8) * 8
+    return aabb, jnp.pad(order, ((0, n_blocks_pad - n_blocks), (0, 0)))
+
+
+def _sweep_kernel_sched(
+    rays_ref, tris_ref, emap_ref, masks_hbm, tiles_on_ref, aabb_ref,
+    order_ref, code_ref, any_ref,
+    *, tri_tile: int, want_matrix: bool, want_any: bool, use_gate: bool,
+    per_emitter_tiles: bool,
+):
+    """Scheduled (multi-emitter) resident sweep: one dispatch spans blocks of
+    DIFFERENT emitters. ``emap_ref`` (SMEM) maps each grid block to its
+    emitter row; the block's combined eligibility row (0 = masked,
+    1 = any-only, 2 = any+matrix; m_mat is always a subset of m_any) is
+    DMA'd once per block from the (E, Tpad) HBM mask table. Pair math and
+    carries are identical to _sweep_kernel."""
+    n_tri_pad = tris_ref.shape[1]
+    n_tiles = n_tri_pad // tri_tile
+    rays = _ray_columns(rays_ref)
+    inv = _ray_inv(rays) if use_gate else None
+    pid = pl.program_id(0)
+    order_row = pid % 8  # order blocks are 8 grid rows tall
+    e = emap_ref[0, pid]
+    e_tiles = e if per_emitter_tiles else 0
+
+    def body(mrow_ref, msem_ref):
+        # one (1, Tpad) row DMA per block — negligible next to the pair math
+        copy = pltpu.make_async_copy(masks_hbm.at[e], mrow_ref, msem_ref)
+        copy.start()
+        copy.wait()
+
+        def tile_math(i, carry):
+            off = i * tri_tile
+            row = lambda r: tris_ref[r : r + 1, pl.ds(off, tri_tile)]  # (1, T)
+            comb = lambda: mrow_ref[0:1, pl.ds(off, tri_tile)]
+            return _tile_step(
+                rays, row, carry, want_matrix=want_matrix, want_any=want_any,
+                m_any_row=comb, m_mat_row=lambda: comb() - 1.0,
+            )
+
+        def guarded_body(j, carry):
+            i = order_ref[order_row, j] if use_gate else j
+            needed = tiles_on_ref[e_tiles, i] > 0
+            if use_gate:
+                needed = needed & _gate_needed(
+                    rays, inv, aabb_ref, i, carry,
+                    want_matrix=want_matrix, want_any=want_any,
+                )
+            return jax.lax.cond(
+                needed, lambda c: tile_math(i, c), lambda c: c, carry
+            )
+
+        best_t, best_code, any_hit = jax.lax.fori_loop(
+            0, n_tiles, guarded_body, _sweep_init(rays[3])
+        )
+        code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
+        any_ref[:, :] = any_hit
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((1, n_tri_pad), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+def _sweep_kernel_sched_streamed(
+    rays_ref, tris_hbm, emap_ref, masks_hbm, tiles_on_ref, aabb_ref,
+    order_ref, code_ref, any_ref,
+    *, tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool,
+    use_gate: bool, per_emitter_tiles: bool,
+):
+    """HBM-streaming scheduled sweep: operand pack AND the (E, Tpad) combined
+    mask table stay in HBM; the block's emitter mask tile is double-buffered
+    alongside the triangle tile (one extra (1, T) DMA per tile, ~4% of the
+    pack stream, hidden behind the pair math like the pack itself)."""
+    rays = _ray_columns(rays_ref)
+    inv = _ray_inv(rays) if use_gate else None
+    pid = pl.program_id(0)
+    order_row = pid % 8
+    e = emap_ref[0, pid]
+    e_tiles = e if per_emitter_tiles else 0
+
+    def body(buf_ref, mbuf_ref, sem_ref, msem_ref):
+        def src_tile(j):
+            return order_ref[order_row, j] if use_gate else j
+
+        def tile_dma(slot, j):
+            i = src_tile(j)
+            return pltpu.make_async_copy(
+                tris_hbm.at[:, pl.ds(i * tri_tile, tri_tile)],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+
+        def mask_dma(slot, j):
+            i = src_tile(j)
+            return pltpu.make_async_copy(
+                masks_hbm.at[e, :, pl.ds(i * tri_tile, tri_tile)],
+                mbuf_ref.at[slot],
+                msem_ref.at[slot],
+            )
+
+        tile_dma(0, 0).start()
+        mask_dma(0, 0).start()
+
+        def tile_body(j, carry):
+            slot = j % 2
+
+            @pl.when(j + 1 < n_tiles)
+            def _():
+                tile_dma((j + 1) % 2, j + 1).start()
+                mask_dma((j + 1) % 2, j + 1).start()
+
+            tile_dma(slot, j).wait()
+            mask_dma(slot, j).wait()
+            row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
+            comb = lambda: mbuf_ref[slot, 0:1, :]
+            step = lambda c: _tile_step(
+                rays, row, c, want_matrix=want_matrix, want_any=want_any,
+                m_any_row=comb, m_mat_row=lambda: comb() - 1.0,
+            )
+            if not use_gate:
+                return step(carry)
+            i = src_tile(j)
+            needed = (tiles_on_ref[e_tiles, i] > 0) & _gate_needed(
+                rays, inv, aabb_ref, i, carry,
+                want_matrix=want_matrix, want_any=want_any,
+            )
+            return jax.lax.cond(needed, step, lambda c: c, carry)
+
+        best_t, best_code, any_hit = jax.lax.fori_loop(
+            0, n_tiles, tile_body, _sweep_init(rays[3])
+        )
+        code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
+        any_ref[:, :] = any_hit
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((2, TRI_ROWS, tri_tile), jnp.float32),
+        pltpu.VMEM((2, 1, tri_tile), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def sweep_rays_scheduled(
+    rays: jnp.ndarray,  # (N, 9) f32: [o | d | o x d], N = n_blocks*ray_block
+    tri_pack: jnp.ndarray,  # (24, Tpad) f32 (mask rows unused here)
+    masks: jnp.ndarray,  # (E, Tpad) f32 combined rows: m_any + m_mat in {0,1,2}
+    emap: jnp.ndarray,  # (n_blocks,) i32: grid block -> emitter row
+    *,
+    ray_block: int,
+    tri_tile: int,
+    want_matrix: bool,
+    want_any: bool,
+    interpret: bool = False,
+    stream_from_hbm: bool | None = None,
+    accel=None,
+):
+    """Multi-emitter sweep: like :func:`sweep_rays`, but each ray block may
+    belong to a different emitter (the scheduled driver's one-dispatch-per-
+    convergence-round schedules). Each block DMAs its emitter's combined
+    mask row (m_any + m_mat, so the matrix mask is ``row > 1`` — m_mat is
+    always a subset of m_any); all per-pair math, gating, and epsilons are
+    the shared :func:`_tile_step`, so counts are bitwise-identical to the
+    single-emitter kernels on the same rays."""
+    from ..config import PALLAS_MAX_TRIS
+
+    n = rays.shape[0]
+    n_tri_pad = tri_pack.shape[1]
+    tile = min(tri_tile, n_tri_pad)
+    while tile > 128 and n_tri_pad % tile != 0:
+        tile //= 2
+    n_blocks = n // ray_block
+    n_tiles = n_tri_pad // tile
+    n_emit = masks.shape[0]
+    if stream_from_hbm is None:
+        stream_from_hbm = n_tri_pad > PALLAS_MAX_TRIS
+
+    # Per-emitter tile activity lives in SMEM; past the scalar-memory budget
+    # it collapses to the union over emitters (conservative: extra tiles run
+    # fully-masked pair math and produce no counts — results unchanged).
+    thresh = 1.0 if (want_matrix and not want_any) else 0.0
+    relevant = masks
+    per_emitter_tiles = n_emit * n_tiles <= SCHED_TILES_SMEM_BUDGET
+    if not per_emitter_tiles:
+        relevant = jnp.max(relevant, axis=0, keepdims=True)
+    tiles_on = jnp.any(
+        relevant.reshape(relevant.shape[0], n_tiles, tile) > thresh, axis=2
+    ).astype(jnp.int32)
+
+    use_gate = accel is not None and n_tiles <= 1024
+    if use_gate:
+        aabb, order = _gate_tables(accel, rays, n_blocks, ray_block, n_tiles, tile)
+    else:
+        aabb = jnp.zeros((8, 128), jnp.float32)
+        order = jnp.zeros((8, 128), jnp.int32)
+
+    common = dict(
+        tri_tile=tile,
+        want_matrix=want_matrix,
+        want_any=want_any,
+        use_gate=use_gate,
+        per_emitter_tiles=per_emitter_tiles,
+    )
+    if stream_from_hbm:
+        kernel = functools.partial(
+            _sweep_kernel_sched_streamed, n_tiles=n_tiles, **common
+        )
+        tris_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        kernel = functools.partial(_sweep_kernel_sched, **common)
+        tris_spec = pl.BlockSpec(
+            (TRI_ROWS, n_tri_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
+    )
+    codes, any_hit = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (ray_block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            tris_spec,
+            smem((1, n_blocks)),
+            pl.BlockSpec(memory_space=pl.ANY),  # mask table stays in HBM
+            smem(tiles_on.shape),
+            smem(aabb.shape),
+            pl.BlockSpec(
+                (8, order.shape[1]),
+                (lambda i: (i // 8, 0)) if use_gate else (lambda i: (0, 0)),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.pad(rays, ((0, 0), (0, 16 - rays.shape[1]))),
+        tri_pack,
+        emap.astype(jnp.int32)[None, :],
+        # rank-3 (E, 1, Tpad): leading dims are untiled, so a scalar-indexed
+        # single-row DMA is aligned (a (E, Tpad) row slice is not)
+        masks[:, None, :],
+        tiles_on,
+        aabb,
+        order,
+    )
+    return codes[:, 0], any_hit[:, 0]
 
 
 def sweep_rays(
@@ -318,7 +626,7 @@ def sweep_rays(
     ops.trace.sort_rays_for_coherence — gating is exact either way, but only
     coherent blocks make it fire.
     """
-    from ..config import ACCEL_GRAIN, PALLAS_MAX_TRIS
+    from ..config import PALLAS_MAX_TRIS
 
     n = rays.shape[0]
     n_tri_pad = tri_pack.shape[1]
@@ -336,29 +644,8 @@ def sweep_rays(
     # are padded); past ~1024 tiles they would not fit, so very large tile
     # counts fall back to the ungated sweep.
     use_gate = accel is not None and n_tiles <= 1024
-    n_blocks_pad = ((n_blocks + 7) // 8) * 8  # order blocks are 8 rows tall
     if use_gate:
-        per = tile // ACCEL_GRAIN
-        lo = jnp.min(accel[0].reshape(n_tiles, per, 3), axis=1)
-        hi = jnp.max(accel[1].reshape(n_tiles, per, 3), axis=1)
-        # (8, n_tiles) row-per-field: [lo_x..lo_z, hi_x..hi_z, pad, pad]
-        aabb = jnp.concatenate(
-            [lo.T, hi.T, jnp.zeros((2, n_tiles), jnp.float32)], axis=0
-        )
-        # Per-block near-to-far visit order from the block's mean origin, so
-        # best_t shrinks in the first few tiles and far tiles get pruned.
-        cent = jnp.mean(
-            rays[:, :3].reshape(n_blocks, ray_block, 3), axis=1
-        )  # (n_blocks, 3)
-        gap = jnp.maximum(
-            jnp.maximum(lo[None, :, :] - cent[:, None, :],
-                        cent[:, None, :] - hi[None, :, :]),
-            0.0,
-        )
-        order = jnp.argsort(
-            jnp.sum(gap * gap, axis=2), axis=1
-        ).astype(jnp.int32)  # (n_blocks, n_tiles)
-        order = jnp.pad(order, ((0, n_blocks_pad - n_blocks), (0, 0)))
+        aabb, order = _gate_tables(accel, rays, n_blocks, ray_block, n_tiles, tile)
     else:
         aabb = jnp.zeros((8, 128), jnp.float32)
         order = jnp.zeros((8, 128), jnp.int32)
@@ -372,7 +659,7 @@ def sweep_rays(
             want_any=want_any,
             use_gate=use_gate,
         )
-        tris_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        tris_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         kernel = functools.partial(
             _sweep_kernel,
@@ -424,4 +711,4 @@ def sweep_rays(
     return codes[:, 0], any_hit[:, 0]
 
 
-__all__ = ["build_tri_pack", "sweep_rays", "TRI_ROWS"]
+__all__ = ["build_tri_pack", "sweep_rays", "sweep_rays_scheduled", "TRI_ROWS"]

@@ -429,8 +429,12 @@ def _tile_bounds(
     pts = np.stack([v0, v0 + e1, v0 + e2], axis=1).astype(np.float32)  # (Tp,3,3)
     real = np.arange(n_tri_pad) < n_tri
     pts = np.where(real[:, None, None], pts, np.float32(np.nan))
+    import warnings
+
     tiles = pts.reshape(n_tri_pad // ACCEL_GRAIN, ACCEL_GRAIN * 3, 3)
-    with np.errstate(invalid="ignore"):
+    with warnings.catch_warnings(), np.errstate(invalid="ignore"):
+        # fully padded tiles are all-NaN on purpose; they become empty boxes
+        warnings.simplefilter("ignore", RuntimeWarning)
         lo = np.nanmin(tiles, axis=1)
         hi = np.nanmax(tiles, axis=1)
     lo = np.where(np.isnan(lo), np.float32(_ACCEL_EMPTY), lo).astype(np.float32)

@@ -502,7 +502,8 @@ def _entry_monitors(entry) -> List:
 def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
                      scene_pack, pack_dev, n_meshes: int, *,
                      want_matrix: bool, want_any: bool, discrete: bool,
-                     consume) -> None:
+                     consume, kernel: str = "xla",
+                     interpret: bool = False) -> None:
     """Whole-scene scheduled solves: one dispatch per convergence round.
 
     Builds a block schedule spanning every pending emitter's next chunk and
@@ -515,15 +516,30 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
     padded to power-of-two sizes to bound compiled variants; padding blocks
     re-trace block 0 and are ignored by the aggregation.
 
+    With ``kernel="pallas"`` the round dispatch runs the fused AABB-gated
+    multi-emitter sweep (ops.trace.scheduled_trace_pallas) instead of the
+    XLA sweep, so large many-emitter scenes get low dispatch counts AND tile
+    pruning in one program. The round's ray budget is capped lower there
+    because rays are materialized for the kernel.
+
     ``consume(entry, host, start_row, bpi, chunk)`` replays one entry's
     per-iteration aggregates through its monitor(s) and must advance
     ``entry['run'].itr_next`` to the first unconsumed iteration.
     """
     import jax.numpy as jnp
 
-    from .ops.trace import scheduled_trace
+    from .ops.trace import scheduled_trace, scheduled_trace_pallas
 
     import jax
+
+    use_pallas = kernel == "pallas"
+    if use_pallas:
+        from .config import PALLAS_RAY_BLOCK, PALLAS_TRI_TILE
+
+        # the Pallas grid block must tile the schedule's row size
+        pallas_block = (
+            PALLAS_RAY_BLOCK if RAY_BLOCK % PALLAS_RAY_BLOCK == 0 else RAY_BLOCK
+        )
 
     tables_flat, geom_stacked, offsets, n_pad = prepared_solver.get_flat_tables(
         samples=p["samples"], rays=p["rays"], flip_faces=flip_faces,
@@ -553,7 +569,11 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             if not m.done
         )
 
-    max_blocks = max(256, TARGET_CHUNK_RAYS // RAY_BLOCK * 8)
+    # XLA rounds never materialize rays (fused per block); Pallas rounds do,
+    # so their block budget is capped at one materialized TARGET_CHUNK_RAYS.
+    max_blocks = max(
+        256, TARGET_CHUNK_RAYS // RAY_BLOCK * (1 if use_pallas else 8)
+    )
     pending = [e for e in entries if entry_pending(e)]
     while pending:
         rows: List[List[int]] = []
@@ -617,17 +637,32 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         cp = np.zeros((n_cp, 7), dtype=np.float32)
         cp[: len(cp_list)] = np.stack(cp_list)
 
-        out = scheduled_trace(
-            scene_t, tables_flat, geom_round, jnp.asarray(cp),
-            jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
-            jnp.asarray(once_b), jnp.asarray(plane_b),
-            jnp.asarray(schedule), scene_pack.accel,
-            ray_block=RAY_BLOCK,
-            tri_tile=scene_pack.tri_tile,
-            want_matrix=want_matrix,
-            want_any=want_any,
-            discrete=discrete,
-        )
+        if use_pallas:
+            out = scheduled_trace_pallas(
+                scene_t, tables_flat, geom_round, jnp.asarray(cp),
+                jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
+                jnp.asarray(once_b), jnp.asarray(plane_b),
+                jnp.asarray(schedule), scene_pack.accel,
+                sched_block=RAY_BLOCK,
+                ray_block=pallas_block,
+                tri_tile=PALLAS_TRI_TILE,
+                want_matrix=want_matrix,
+                want_any=want_any,
+                discrete=discrete,
+                interpret=interpret,
+            )
+        else:
+            out = scheduled_trace(
+                scene_t, tables_flat, geom_round, jnp.asarray(cp),
+                jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
+                jnp.asarray(once_b), jnp.asarray(plane_b),
+                jnp.asarray(schedule), scene_pack.accel,
+                ray_block=RAY_BLOCK,
+                tri_tile=scene_pack.tri_tile,
+                want_matrix=want_matrix,
+                want_any=want_any,
+                discrete=discrete,
+            )
         host = {k: np.asarray(v) for k, v in out.items()}
 
         for entry, start_row, bpi, chunk in plan:
@@ -638,7 +673,9 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
 
 
 def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
-                            scene_pack, pack_dev, n_meshes: int) -> None:
+                            scene_pack, pack_dev, n_meshes: int, *,
+                            kernel: str = "xla",
+                            interpret: bool = False) -> None:
     def consume(entry, host, start_row, bpi, chunk):
         mon = entry["monitor"]
         for c in range(chunk):
@@ -654,12 +691,14 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
     _drive_scheduled(
         entries, prepared_solver, p, flip_faces, align, scene_pack, pack_dev,
         n_meshes, want_matrix=True, want_any=False, discrete=False,
-        consume=consume,
+        consume=consume, kernel=kernel, interpret=interpret,
     )
 
 
 def _drive_sky_scheduled(entries, prepared_solver, p, align, scene_pack,
-                         pack_dev, n_meshes: int, *, discrete: bool) -> None:
+                         pack_dev, n_meshes: int, *, discrete: bool,
+                         kernel: str = "xla",
+                         interpret: bool = False) -> None:
     def consume(entry, host, start_row, bpi, chunk):
         mon = entry["monitor"]
         for c in range(chunk):
@@ -676,12 +715,14 @@ def _drive_sky_scheduled(entries, prepared_solver, p, align, scene_pack,
     _drive_scheduled(
         entries, prepared_solver, p, False, align, scene_pack, pack_dev,
         n_meshes, want_matrix=False, want_any=True, discrete=discrete,
-        consume=consume,
+        consume=consume, kernel=kernel, interpret=interpret,
     )
 
 
 def _drive_combined_scheduled(entries, prepared_solver, p, align, scene_pack,
-                              pack_dev, n_meshes: int, *, discrete: bool) -> None:
+                              pack_dev, n_meshes: int, *, discrete: bool,
+                              kernel: str = "xla",
+                              interpret: bool = False) -> None:
     """Scheduled shared-ray workflow: both outputs computed for every block
     (simple single compiled program); each monitor consumes only while
     pending, exactly the dual-monitor replay of _drive_combined_pipelined."""
@@ -717,7 +758,7 @@ def _drive_combined_scheduled(entries, prepared_solver, p, align, scene_pack,
     _drive_scheduled(
         entries, prepared_solver, p, False, align, scene_pack, pack_dev,
         n_meshes, want_matrix=True, want_any=True, discrete=discrete,
-        consume=consume,
+        consume=consume, kernel=kernel, interpret=interpret,
     )
 
 
@@ -1128,7 +1169,7 @@ def view_factor_matrix(
         emit_sid, min_sid = _matrix_skip(idx_emit, reciprocity)
         em_pack = _make_emitter_pack(
             prepared_solver, idx_emit, p, flip_faces, align, pack_dev, ray_dev,
-            lazy=(kernel == "xla" and mesh is None and use_scheduler),
+            lazy=(mesh is None and use_scheduler),
         )
         run = _EmitterRun(
             scene_pack, em_pack, surf_active, emit_sid, min_sid,
@@ -1189,13 +1230,14 @@ def view_factor_matrix(
     # pipelined per-emitter driver for anything left (single emitters,
     # Pallas-swept scenes, device-mesh solves)
     with profiler("matrix_solve"):
-        if kernel == "xla" and mesh is None and len(entries) > 1:
+        if mesh is None and len(entries) > 1:
             if use_scheduler:
                 _drive_matrix_scheduled(
                     entries, prepared_solver, p, flip_faces, align,
                     scene_pack, pack_dev, n_surf,
+                    kernel=kernel, interpret=interpret,
                 )
-            else:
+            elif kernel == "xla":
                 _drive_matrix_grouped(entries)
         _drive_matrix_pipelined(entries)
     solve_s = time.time() - t_solve
@@ -1338,13 +1380,13 @@ def view_factor_to_tregenza_sky(
     for entry in entries:
         entry["started"] = t_solve
         entry["on_done"] = _save_sky
-    if kernel == "xla" and mesh is None and len(entries) > 1:
+    if mesh is None and len(entries) > 1:
         if _use_scheduler(device):
             _drive_sky_scheduled(
                 entries, prepared_solver, p, align, scene_pack, pack_dev,
-                n_surf, discrete=discrete,
+                n_surf, discrete=discrete, kernel=kernel, interpret=interpret,
             )
-        else:
+        elif kernel == "xla":
             _drive_sky_grouped(entries, discrete=discrete)
     _drive_sky_pipelined(entries, discrete=discrete)
     solve_s = time.time() - t_solve
@@ -1543,11 +1585,10 @@ def view_factor_matrix_and_sky(
     for entry in entries:
         entry["started"] = t_solve
         entry["on_done"] = _assemble
-    if (kernel == "xla" and mesh is None and len(entries) > 1
-            and _use_scheduler(device)):
+    if mesh is None and len(entries) > 1 and _use_scheduler(device):
         _drive_combined_scheduled(
             entries, prepared_solver, mp, align, scene_pack, pack_dev,
-            n_surf, discrete=discrete,
+            n_surf, discrete=discrete, kernel=kernel, interpret=interpret,
         )
     _drive_combined_pipelined(entries, discrete=discrete)
     solve_s = time.time() - t_solve

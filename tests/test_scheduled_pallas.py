@@ -1,0 +1,221 @@
+"""Scheduled Pallas sweep: one dispatch per convergence round spanning many
+emitters, with the fused AABB-gated kernel selecting each block's emitter
+masks via scalar prefetch.
+
+Correctness bar: ops.trace.scheduled_trace_pallas must be bitwise-equal to
+the XLA scheduled_trace on the same schedule (resident, HBM-streamed, and
+union-tile-table variants), and the end-to-end solvers must reproduce the
+default drivers exactly when SCHEDULER=scheduled + KERNEL=pallas.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from raystrack_tpu import (
+    MatrixParams,
+    SkyParams,
+    view_factor_matrix,
+    view_factor_matrix_and_sky,
+    view_factor_to_tregenza_sky,
+)
+from raystrack_tpu.config import RAY_BLOCK
+from raystrack_tpu.ops.trace import scheduled_trace, scheduled_trace_pallas
+from raystrack_tpu.prepared import PreparedSolver
+from raystrack_tpu.solver import (
+    _build_emitter_surface_mask,
+    _cp_rows,
+    _matrix_skip,
+    _pow2_at_least,
+)
+
+
+def _plate(name, z, h=4.0, flip=False):
+    V = np.array([[-h, -h, z], [h, -h, z], [h, h, z], [-h, h, z]], np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    if flip:
+        F = F[:, [0, 2, 1]].copy()
+    return (name, V, F)
+
+
+def _cloud_scene(n_tri, seed=0):
+    """Two facing plates sandwiching a dense random-triangle cloud."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform([-4, -4, 0.5], [4, 4, 6], size=(n_tri, 3))
+    spans = rng.normal(scale=0.5, size=(n_tri, 2, 3))
+    Vc = np.concatenate(
+        [centers, centers + spans[:, 0], centers + spans[:, 1]], axis=1
+    ).reshape(-1, 3).astype(np.float32)
+    Fc = np.arange(n_tri * 3, dtype=np.int32).reshape(-1, 3)
+    return [_plate("ground", 0.0), _plate("lid", 7.0, flip=True),
+            ("cloud", Vc, Fc)]
+
+
+def _build_schedule(ps, emitter_ids, *, samples, rays, iters, seed,
+                    reciprocity, use_accel=True):
+    """Hand-build a multi-emitter block schedule + per-round emitter stacks,
+    mirroring solver._drive_scheduled's construction."""
+    scene = ps.get_scene_pack(use_accel=use_accel)
+    scene_t = (scene.v0, scene.e1, scene.e2, scene.cross_e,
+               scene.w_u, scene.w_v, scene.d0, scene.sid)
+    tables_flat, geom_stacked, offsets, n_pad = ps.get_flat_tables(
+        samples=samples, rays=rays, flip_faces=False, align=RAY_BLOCK
+    )
+    emitters = ps.get_emitters(samples=samples, rays=rays, flip_faces=False)
+    bc, be = ps.get_mesh_bounds()
+    n_surf = len(ps.meshes)
+
+    rows, cps = [], []
+    surf_b, emit_b, min_b, once_b, plane_b = [], [], [], [], []
+    for local_e, e in enumerate(emitter_ids):
+        sa = _build_emitter_surface_mask(e, emitters[e], bc, be)
+        ext = np.zeros(n_surf + 1, np.int32)
+        ext[:-1] = sa
+        es, ms = _matrix_skip(e, reciprocity)
+        surf_b.append(ext)
+        emit_b.append(es)
+        min_b.append(ms)
+        once_b.append(emitters[e].n_cells * rays)
+        pe = emitters[e]
+        plane_b.append(np.concatenate([
+            pe.plane_origin.astype(np.float32),
+            pe.plane_normal.astype(np.float32),
+            np.float32([pe.plane_tol, 1.0 if pe.plane_is_planar else 0.0]),
+        ]))
+        bpi = int(n_pad[e]) // RAY_BLOCK
+        for c in range(iters):
+            cp_idx = len(cps)
+            cps.append(_cp_rows(seed, e, c, 1)[0])
+            for b in range(bpi):
+                rows.append(
+                    [local_e, cp_idx, int(offsets[e]) + b * RAY_BLOCK,
+                     b * RAY_BLOCK]
+                )
+
+    nb = _pow2_at_least(len(rows))
+    schedule = np.zeros((nb, 4), np.int32)
+    schedule[: len(rows)] = rows
+    schedule[len(rows):] = schedule[0]
+    n_cp = _pow2_at_least(len(cps), lo=8)
+    cp = np.zeros((n_cp, 7), np.float32)
+    cp[: len(cps)] = np.stack(cps)
+    n_e = _pow2_at_least(len(emitter_ids), lo=1)
+    pad_n = n_e - len(emitter_ids)
+    stacks = (
+        np.stack(surf_b + [surf_b[0]] * pad_n),
+        np.asarray(emit_b + [emit_b[0]] * pad_n, np.int32),
+        np.asarray(min_b + [min_b[0]] * pad_n, np.int32),
+        np.asarray(once_b + [once_b[0]] * pad_n, np.int32),
+        np.stack(plane_b + [plane_b[0]] * pad_n).astype(np.float32),
+    )
+    return scene, scene_t, tables_flat, geom_stacked, cp, stacks, schedule
+
+
+def _both(ps, emitter_ids, *, samples=4, rays=64, iters=2, seed=7,
+          reciprocity=True, discrete=True, tri_tile=512):
+    scene, scene_t, tables_flat, geom_stacked, cp, stacks, schedule = (
+        _build_schedule(ps, emitter_ids, samples=samples, rays=rays,
+                        iters=iters, seed=seed, reciprocity=reciprocity)
+    )
+    args = (
+        scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
+        *(jnp.asarray(s) for s in stacks), jnp.asarray(schedule), scene.accel,
+    )
+    common = dict(want_matrix=True, want_any=True, discrete=discrete)
+    out_x = scheduled_trace(
+        *args, ray_block=RAY_BLOCK, tri_tile=scene.tri_tile, **common
+    )
+    out_p = scheduled_trace_pallas(
+        *args, sched_block=RAY_BLOCK, ray_block=256, tri_tile=tri_tile,
+        interpret=True, **common
+    )
+    return out_x, out_p
+
+
+def _assert_equal(out_x, out_p):
+    assert set(out_x) == set(out_p)
+    for k in out_x:
+        np.testing.assert_array_equal(
+            np.asarray(out_x[k]), np.asarray(out_p[k]), err_msg=k
+        )
+        assert int(np.asarray(out_x[k]).sum()) > 0, f"{k}: degenerate test"
+
+
+def test_scheduled_pallas_bitwise_resident():
+    ps = PreparedSolver(_cloud_scene(700))
+    _assert_equal(*_both(ps, [0, 1]))
+
+
+def test_scheduled_pallas_bitwise_streamed(monkeypatch):
+    """Past PALLAS_MAX_TRIS the scheduled sweep streams the pack AND the
+    per-emitter mask table from HBM; counts must not change."""
+    from raystrack_tpu import config
+
+    monkeypatch.setattr(config, "PALLAS_MAX_TRIS", 256)
+    ps = PreparedSolver(_cloud_scene(650, seed=3))
+    _assert_equal(*_both(ps, [0, 1], seed=11))
+
+
+def test_scheduled_pallas_bitwise_union_tiles(monkeypatch):
+    """When the per-emitter tile table exceeds the SMEM budget it collapses
+    to the union over emitters — conservative, bitwise-identical results."""
+    from raystrack_tpu.ops import trace_pallas
+
+    monkeypatch.setattr(trace_pallas, "SCHED_TILES_SMEM_BUDGET", 1)
+    ps = PreparedSolver(_cloud_scene(620, seed=5))
+    _assert_equal(*_both(ps, [0, 1], seed=13, tri_tile=256))
+
+
+def _force_scheduled_pallas(monkeypatch):
+    from raystrack_tpu import config
+
+    monkeypatch.setattr(config, "SCHEDULER", "scheduled")
+    monkeypatch.setattr(config, "KERNEL", "pallas")
+
+
+def test_matrix_scheduled_pallas_matches_default(monkeypatch):
+    meshes = _cloud_scene(560, seed=8)
+    params = MatrixParams(samples=2, rays=32, seed=4, device="cpu",
+                          bvh="builtin", max_iters=4, min_iters=2, tol=1e-3,
+                          reciprocity=True)
+    base = view_factor_matrix(meshes, params=params)
+    _force_scheduled_pallas(monkeypatch)
+    assert view_factor_matrix(meshes, params=params) == base
+
+
+def test_sky_scheduled_pallas_matches_default(monkeypatch):
+    meshes = _cloud_scene(540, seed=9)
+    for discrete in (False, True):
+        params = SkyParams(samples=2, rays=32, seed=5, device="cpu",
+                           bvh="builtin", max_iters=4, min_iters=2, tol=1e-3,
+                           discrete=discrete)
+        base = view_factor_to_tregenza_sky(meshes, params=params)
+        _force_scheduled_pallas(monkeypatch)
+        scheduled = view_factor_to_tregenza_sky(meshes, params=params)
+        monkeypatch.undo()
+        assert scheduled == base
+
+
+def test_combined_scheduled_pallas_matches_default(monkeypatch):
+    meshes = _cloud_scene(520, seed=10)
+    mp = MatrixParams(samples=2, rays=32, seed=6, device="cpu",
+                      bvh="builtin", max_iters=5, min_iters=2, tol=1e-3,
+                      reciprocity=True)
+    sp = SkyParams(samples=2, rays=32, seed=6, device="cpu", bvh="builtin",
+                   max_iters=4, min_iters=2, tol=1e-3)
+    base = view_factor_matrix_and_sky(meshes, matrix_params=mp, sky_params=sp)
+    _force_scheduled_pallas(monkeypatch)
+    assert view_factor_matrix_and_sky(
+        meshes, matrix_params=mp, sky_params=sp
+    ) == base
+
+
+def test_matrix_scheduled_pallas_accel_exact(monkeypatch):
+    """Gated scheduled Pallas solve == ungated: pruning may only skip
+    provably irrelevant tiles, never change a count."""
+    meshes = _cloud_scene(580, seed=12)
+    _force_scheduled_pallas(monkeypatch)
+    params_on = MatrixParams(samples=2, rays=32, seed=4, device="cpu",
+                             bvh="builtin", max_iters=3, min_iters=2, tol=1e-3)
+    params_off = MatrixParams(**{**params_on.as_dict(), "bvh": "off"})
+    assert view_factor_matrix(meshes, params=params_on) == view_factor_matrix(
+        meshes, params=params_off
+    )
