@@ -160,6 +160,54 @@ def _city_curve():
     return points
 
 
+def _district(n_buildings: int = 96, extent: float = 60.0, seed: int = 3):
+    """Ground + per-building meshes: a many-emitter Pallas-scale scene.
+
+    Every building is its own named mesh (12 triangles), so a matrix solve
+    runs n_buildings+1 emitters over >512 triangles — the regime the
+    scheduled Pallas driver exists for (one gated dispatch per convergence
+    round instead of per-emitter dispatch chains).
+    """
+    rng = np.random.default_rng(seed)
+    V = np.array([[-extent, -extent, 0], [extent, -extent, 0],
+                  [extent, extent, 0], [-extent, extent, 0]], np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    box_f = np.array([[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],
+                      [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],
+                      [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0]], np.int32)
+    meshes = [("ground", V, F)]
+    cx = rng.uniform(-extent * 0.9, extent * 0.9, (n_buildings, 2))
+    w = rng.uniform(1.5, 5.0, (n_buildings, 2))
+    h = rng.uniform(4.0, 30.0, n_buildings)
+    for i in range(n_buildings):
+        x0, y0 = cx[i] - w[i]
+        x1, y1 = cx[i] + w[i]
+        vs = np.array([[x0, y0, 0.05], [x1, y0, 0.05], [x1, y1, 0.05],
+                       [x0, y1, 0.05], [x0, y0, h[i]], [x1, y0, h[i]],
+                       [x1, y1, h[i]], [x0, y1, h[i]]], np.float32)
+        meshes.append((f"bld_{i:03d}", vs, box_f.copy()))
+    return meshes
+
+
+def _district_solve():
+    """Warm full matrix solve of the 97-emitter district (scheduled Pallas
+    driver: one AABB-gated dispatch per convergence round)."""
+    from raystrack_tpu import MatrixParams, view_factor_matrix
+    from raystrack_tpu.prepared import PreparedSolver
+
+    meshes = _district()
+    ps = PreparedSolver(meshes)
+    params = MatrixParams(samples=1, rays=32, seed=7, max_iters=8,
+                          min_iters=4, tol=1e-3, reciprocity=True)
+    view_factor_matrix(meshes, params=params, prepared=ps)  # warm compile
+    t0 = time.perf_counter()
+    vf = view_factor_matrix(meshes, params=params, prepared=ps)
+    district_s = round(time.perf_counter() - t0, 3)
+    n_rows = sum(1 for row in vf.values() if row)
+    assert n_rows >= 90, f"district solve degenerate: {n_rows} non-empty rows"
+    return district_s
+
+
 def _canyon_and_plates():
     from examples.ex00_street_canyon_geometry import build_street_canyon
     from raystrack_tpu import MatrixParams, view_factor_matrix
@@ -208,6 +256,11 @@ def main():
     except Exception as exc:  # pragma: no cover - environment dependent
         print(f"# canyon secondary skipped: {type(exc).__name__}: {exc}")
         canyon_s, max_df = None, None
+    try:
+        district_s = _district_solve()
+    except Exception as exc:  # pragma: no cover - environment dependent
+        print(f"# district secondary skipped: {type(exc).__name__}: {exc}")
+        district_s = None
 
     print(
         json.dumps(
@@ -222,6 +275,7 @@ def main():
                 "occluded_city_rays_per_sec": city,
                 "device": str(jax.devices()[0]),
                 "canyon_solve_s": canyon_s,
+                "district_97_emitters_solve_s": district_s,
                 "parallel_plates_abs_err": max_df,
             }
         )

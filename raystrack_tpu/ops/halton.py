@@ -108,18 +108,25 @@ def _radical_inverse_device(length: int, base: int) -> Optional[np.ndarray]:
 
         k = _digit_count(length, base)
 
+        # Fixed-size slices bound transient HBM (one compiled shape, a few
+        # hundred MB peak instead of several GB for 100M-entry tables) —
+        # the reversal is elementwise in the index, so slicing is exact.
+        chunk = 1 << 24
         with jax.enable_x64():
 
             @jax.jit
-            def reverse_digits(n):
+            def reverse_digits(start):
+                n = start + jnp.arange(chunk, dtype=jnp.int64)
                 rev = jnp.zeros_like(n)
                 for _ in range(k):
                     rev = rev * base + n % base
                     n = n // base
                 return rev
 
-            rev = reverse_digits(jnp.arange(1, length + 1, dtype=jnp.int64))
-            host = np.asarray(rev, dtype=np.int64)
+            host = np.empty(length, dtype=np.int64)
+            for s in range(0, length, chunk):
+                block = np.asarray(reverse_digits(jnp.int64(s + 1)))
+                host[s : s + chunk] = block[: min(chunk, length - s)]
         return host / float(base**k)
     except Exception:
         return None  # any device/backend issue -> host build

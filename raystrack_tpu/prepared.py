@@ -29,6 +29,7 @@ device packs additionally by device and padding alignment).
 """
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -60,7 +61,14 @@ class PreparedScene:
 
 @dataclass(frozen=True)
 class PreparedEmitter:
-    """Per-mesh emission tables (host arrays)."""
+    """Per-mesh emission geometry plus LAZY QMC tables (host arrays).
+
+    The Halton jitter grid and the five per-ray dimensions are built on
+    first access, not at prepare time: a scene's emitter list covers every
+    mesh (reference semantics, prepared.py:246-321), but solves typically
+    trace only a few of them — a million-triangle receiver mesh must not pay
+    for (or OOM on) tens of millions of table entries it never emits.
+    """
 
     tri_a: np.ndarray  # (F, 3) f32
     tri_e1: np.ndarray  # (F, 3) f32
@@ -76,17 +84,58 @@ class PreparedEmitter:
     cdf: np.ndarray  # (F,) f32 area CDF
     total_area: float
     g: int  # stratified grid side
-    u_grid: np.ndarray  # (g*g,) f32 per-cell jitter
-    v_grid: np.ndarray  # (g*g,) f32
-    halton_tri: np.ndarray  # (g*g*rays,) f32
-    halton_u: np.ndarray
-    halton_v: np.ndarray
-    halton_r1: np.ndarray
-    halton_r2: np.ndarray
+    rays: int  # rays per cell the tables are sized for
+    zero_area: bool = False  # degenerate emitters get all-zero tables
 
     @property
     def n_cells(self) -> int:
-        return int(self.u_grid.shape[0])
+        return int(self.g * self.g)
+
+    # functools.cached_property writes straight into __dict__, which works
+    # on a frozen dataclass (no __slots__) — the instance stays logically
+    # immutable, the tables are just memoized.
+    @_functools.cached_property
+    def _grids(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.zero_area:
+            zero = np.zeros(self.n_cells, dtype=np.float32)
+            return zero, zero.copy()
+        return cached_halton(self.g)
+
+    @property
+    def u_grid(self) -> np.ndarray:  # (g*g,) f32 per-cell jitter
+        return self._grids[0]
+
+    @property
+    def v_grid(self) -> np.ndarray:  # (g*g,) f32
+        return self._grids[1]
+
+    @_functools.cached_property
+    def _dims(self) -> Tuple[np.ndarray, ...]:
+        n = self.n_cells * self.rays
+        if self.zero_area:
+            zero = np.zeros(n, dtype=np.float32)
+            return (zero,) * 5
+        return cached_halton_dims(n)
+
+    @property
+    def halton_tri(self) -> np.ndarray:  # (g*g*rays,) f32
+        return self._dims[0]
+
+    @property
+    def halton_u(self) -> np.ndarray:
+        return self._dims[1]
+
+    @property
+    def halton_v(self) -> np.ndarray:
+        return self._dims[2]
+
+    @property
+    def halton_r1(self) -> np.ndarray:
+        return self._dims[3]
+
+    @property
+    def halton_r2(self) -> np.ndarray:
+        return self._dims[4]
 
 
 def _safe_unit(v: np.ndarray) -> np.ndarray:
@@ -234,19 +283,14 @@ def prepare_emitters(
 
         areas = 0.5 * twice_area
         total_area = float(areas.sum())
-        if total_area <= 0.0:
+        zero_area = total_area <= 0.0
+        if zero_area:
             cdf = np.ones(F_emit.shape[0], dtype=np.float32)
             g = 4
-            u_grid = np.zeros(g * g, dtype=np.float32)
-            v_grid = np.zeros_like(u_grid)
-            zeros = np.zeros(g * g * rays, dtype=np.float32)
-            h_tri = h_u = h_v = h_r1 = h_r2 = zeros
         else:
             cdf64 = np.cumsum(areas, dtype=np.float64)
             cdf = (cdf64 / cdf64[-1]).astype(np.float32)
             g = grid_from_density(total_area, samples)
-            u_grid, v_grid = cached_halton(g)
-            h_tri, h_u, h_v, h_r1, h_r2 = cached_halton_dims(g * g * rays)
 
         emitters.append(
             PreparedEmitter(
@@ -264,13 +308,8 @@ def prepare_emitters(
                 cdf=cdf,
                 total_area=total_area,
                 g=g,
-                u_grid=u_grid,
-                v_grid=v_grid,
-                halton_tri=h_tri,
-                halton_u=h_u,
-                halton_v=h_v,
-                halton_r1=h_r1,
-                halton_r2=h_r2,
+                rays=int(rays),
+                zero_area=zero_area,
             )
         )
     return emitters
