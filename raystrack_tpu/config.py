@@ -81,6 +81,14 @@ PALLAS_MAX_TRIS = _env_int("RAYSTRACK_TPU_PALLAS_MAX_TRIS", 32768)
 PALLAS_RAY_BLOCK = _env_int("RAYSTRACK_TPU_PALLAS_RAY_BLOCK", 256)
 PALLAS_TRI_TILE = _env_int("RAYSTRACK_TPU_PALLAS_TRI_TILE", 2048)
 
+# Distance-gate capacity: tile counts above this fall back to the ungated
+# sweep (the gate's AABB/order tables live in scalar memory; 2048 tiles =
+# ~128 KB of SMEM tables, measured fine on v5e — 4M gated triangles at the
+# default tile width). Tile widths BELOW the default measure slower at 1M
+# tris despite finer pruning: the per-tile DMA is unconditional, so more
+# tiles means more loop/gate overhead for the same streamed bytes.
+GATE_MAX_TILES = _env_int("RAYSTRACK_TPU_GATE_MAX_TILES", 2048)
+
 __all__ = [
     "RAY_BLOCK",
     "TRI_TILE",

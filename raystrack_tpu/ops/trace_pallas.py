@@ -167,12 +167,13 @@ def _ray_inv(rays):
     return tuple(out)
 
 
-def _gate_needed(rays, inv, aabb_ref, i, carry, *, want_matrix, want_any):
-    """Conservative block-level tile gate: can any ray's AABB interval still
-    matter? Mirrors ops.trace._ray_box_interval — the relative margin makes
-    pruning strictly conservative, so skipped tiles provably cannot change
-    the result (the flat-sweep form of the reference BVH's node_t >= best
-    pruning, reference: cpu_trace.py:243-250).
+def _gate_need_rays(rays, inv, aabb_ref, i, carry, *, want_matrix, want_any):
+    """Conservative per-ray tile-gate test: (B, 1) flags of rays whose AABB
+    interval against tile ``i`` could still matter. Mirrors
+    ops.trace._ray_box_interval — the relative margin makes pruning strictly
+    conservative, so skipped tiles provably cannot change the result (the
+    flat-sweep form of the reference BVH's node_t >= best pruning,
+    reference: cpu_trace.py:243-250).
 
     ``aabb_ref`` is the (8, n_tiles) SMEM table with rows
     [lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, pad, pad] (row-per-field layout:
@@ -203,7 +204,15 @@ def _gate_needed(rays, inv, aabb_ref, i, carry, *, want_matrix, want_any):
         need = hit_box & (near_c < best_t)
     if want_any:
         need = need | (hit_box & (any_hit == 0))
-    return jnp.any(need)
+    return need
+
+
+def _gate_needed(rays, inv, aabb_ref, i, carry, *, want_matrix, want_any):
+    """Block-level tile gate: any ray in the block still needs tile ``i``."""
+    return jnp.any(
+        _gate_need_rays(rays, inv, aabb_ref, i, carry,
+                        want_matrix=want_matrix, want_any=want_any)
+    )
 
 
 def _sweep_kernel(
@@ -528,7 +537,9 @@ def sweep_rays_scheduled(
         relevant.reshape(relevant.shape[0], n_tiles, tile) > thresh, axis=2
     ).astype(jnp.int32)
 
-    use_gate = accel is not None and n_tiles <= 1024
+    from ..config import GATE_MAX_TILES
+
+    use_gate = accel is not None and n_tiles <= GATE_MAX_TILES
     if use_gate:
         aabb, order = _gate_tables(accel, rays, n_blocks, ray_block, n_tiles, tile)
     else:
@@ -643,7 +654,9 @@ def sweep_rays(
     # The gate's AABB/order tables live in SMEM (~1 MB budget, scalar words
     # are padded); past ~1024 tiles they would not fit, so very large tile
     # counts fall back to the ungated sweep.
-    use_gate = accel is not None and n_tiles <= 1024
+    from ..config import GATE_MAX_TILES
+
+    use_gate = accel is not None and n_tiles <= GATE_MAX_TILES
     if use_gate:
         aabb, order = _gate_tables(accel, rays, n_blocks, ray_block, n_tiles, tile)
     else:
