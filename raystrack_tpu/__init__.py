@@ -21,6 +21,7 @@ from .solver import (
 from .api import view_factor_outside_workflow
 from .prepared import PreparedSolver
 from .io import (
+    VFMatrixStreamWriter,
     save_vf_matrix_json,
     load_vf_matrix_json,
     save_meshes_json,
@@ -28,6 +29,7 @@ from .io import (
     merge_vf_matrix,
 )
 from .obj import load_meshes_obj
+from .ply import load_meshes_ply
 
 __version__ = "0.1.0"
 
@@ -42,9 +44,11 @@ __all__ = [
     "SkyParams",
     "PreparedSolver",
     "save_vf_matrix_json",
+    "VFMatrixStreamWriter",
     "load_vf_matrix_json",
     "save_meshes_json",
     "load_meshes_json",
     "load_meshes_obj",
+    "load_meshes_ply",
     "merge_vf_matrix",
 ]

@@ -6,7 +6,7 @@ Usage (also via ``python -m raystrack_tpu``):
     raystrack-tpu sky scene.obj --discrete --out sky.json
     raystrack-tpu workflow scene.json --out-prefix run1_
 
-Meshes load from ``.json`` (save_meshes_json format) or ``.obj``. Solver
+Meshes load from ``.json`` (save_meshes_json format), ``.obj``, or ``.ply``. Solver
 fields map 1:1 onto MatrixParams/SkyParams.
 """
 from __future__ import annotations
@@ -22,13 +22,17 @@ def _load_meshes(path: str):
         from .obj import load_meshes_obj
 
         return load_meshes_obj(path)
+    if path.lower().endswith(".ply"):
+        from .ply import load_meshes_ply
+
+        return load_meshes_ply(path)
     from .io import load_meshes_json
 
     return load_meshes_json(path)
 
 
 def _add_common(parser: argparse.ArgumentParser) -> None:
-    parser.add_argument("meshes", help="scene file (.json or .obj)")
+    parser.add_argument("meshes", help="scene file (.json, .obj, or .ply)")
     parser.add_argument("--samples", type=int, default=16)
     parser.add_argument("--rays", type=int, default=128)
     parser.add_argument("--seed", type=int, default=1)

@@ -147,6 +147,80 @@ def load_vf_matrix_json(load_path: str) -> VFDict:
     return _checked_rows(_read_json(load_path), where=load_path)
 
 
+class VFMatrixStreamWriter:
+    """Incremental VF-matrix JSON writer for results too large to hold.
+
+    Produces the same format as :func:`save_vf_matrix_json` (zero pruning,
+    optional ``strip_dir`` folding, per-row sorted keys) but one sender row
+    at a time, so a million-emitter sweep can stream its matrix to disk as
+    emitters converge instead of accumulating the whole dict in memory.
+    Rows appear in write order. The file is written to a per-process temp
+    name and atomically published on ``close()``; an abandoned writer (error
+    before close) leaves no partial output at the target path.
+
+        with VFMatrixStreamWriter("vf.json") as w:
+            for name, row in solve_rows(...):
+                w.write_row(name, row)
+    """
+
+    def __init__(self, save_path: str, *, strip_dir: bool = False):
+        import os
+
+        self._path = _out_path(save_path)
+        self._tmp = self._path.with_suffix(f".{os.getpid()}.tmp")
+        self._fh = self._tmp.open("w", encoding="utf-8")
+        self._fh.write("{")
+        self._strip_dir = bool(strip_dir)
+        self._seen: set = set()
+        self._closed = False
+
+    def write_row(self, sender: str, row: Dict[str, float]) -> None:
+        """Append one sender's receiver map (validated, pruned, folded)."""
+        if self._closed:
+            raise ValueError("VFMatrixStreamWriter is closed")
+        checked = _checked_rows({sender: row}, where="write_row")
+        if sender in self._seen:
+            raise ValueError(f"duplicate sender row {sender!r}")
+        kept: Dict[str, float] = {}
+        for recv, value in checked[sender].items():
+            if value == 0.0:
+                continue
+            key = strip_direction(recv) if self._strip_dir else recv
+            kept[key] = kept.get(key, 0.0) + value
+        prefix = ",\n" if self._seen else "\n"
+        self._fh.write(
+            f"{prefix}  {json.dumps(sender, ensure_ascii=False)}: "
+            + json.dumps(kept, ensure_ascii=False, sort_keys=True)
+        )
+        self._seen.add(sender)
+
+    def close(self) -> str:
+        """Finish the JSON document and atomically publish it."""
+        if self._closed:
+            return str(self._path.resolve())
+        self._closed = True
+        self._fh.write("\n}\n" if self._seen else "}\n")
+        self._fh.close()
+        self._tmp.replace(self._path)
+        return str(self._path.resolve())
+
+    def abort(self) -> None:
+        """Discard the partial file without publishing."""
+        if not self._closed:
+            self._closed = True
+            self._fh.close()
+            self._tmp.unlink(missing_ok=True)
+
+    def __enter__(self) -> "VFMatrixStreamWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+
+
 # ---------------------------------------------------------------------------
 # Mesh geometry
 # ---------------------------------------------------------------------------
@@ -198,6 +272,7 @@ __all__ = [
     "merge_vf_matrix",
     "save_vf_matrix_json",
     "load_vf_matrix_json",
+    "VFMatrixStreamWriter",
     "save_meshes_json",
     "load_meshes_json",
 ]

@@ -69,3 +69,63 @@ def test_load_missing_file():
         load_vf_matrix_json("/nonexistent/file.json")
     with pytest.raises(FileNotFoundError):
         load_meshes_json("/nonexistent/file.json")
+
+
+def test_stream_writer_matches_save(tmp_path):
+    """A streamed matrix loads back equal to save_vf_matrix_json's output,
+    including zero pruning and strip_dir folding."""
+    from raystrack_tpu.io import VFMatrixStreamWriter
+
+    vf = {
+        "a": {"b_front": 0.25, "b_back": 0.05, "c_front": 0.0},
+        "b": {"a_front": 0.5},
+        "empty": {},
+    }
+    for strip_dir in (False, True):
+        ref_path = save_vf_matrix_json(
+            vf, str(tmp_path / f"ref_{strip_dir}"), strip_dir=strip_dir
+        )
+        with VFMatrixStreamWriter(
+            str(tmp_path / f"stream_{strip_dir}"), strip_dir=strip_dir
+        ) as w:
+            for sender, row in vf.items():
+                w.write_row(sender, row)
+        streamed = load_vf_matrix_json(str(tmp_path / f"stream_{strip_dir}.json"))
+        assert streamed == load_vf_matrix_json(ref_path)
+
+
+def test_stream_writer_rejects_duplicates_and_bad_rows(tmp_path):
+    from raystrack_tpu.io import VFMatrixStreamWriter
+
+    with VFMatrixStreamWriter(str(tmp_path / "vf")) as w:
+        w.write_row("a", {"b": 0.5})
+        with pytest.raises(ValueError, match="duplicate"):
+            w.write_row("a", {"c": 0.1})
+        with pytest.raises(TypeError):
+            w.write_row("c", {"d": "not a number"})
+        w.write_row("c", {"d": 0.1})
+    assert load_vf_matrix_json(str(tmp_path / "vf.json")) == {
+        "a": {"b": 0.5}, "c": {"d": 0.1},
+    }
+
+
+def test_stream_writer_abort_leaves_no_output(tmp_path):
+    from raystrack_tpu.io import VFMatrixStreamWriter
+
+    target = tmp_path / "partial.json"
+    try:
+        with VFMatrixStreamWriter(str(target)) as w:
+            w.write_row("a", {"b": 0.5})
+            raise RuntimeError("interrupted")
+    except RuntimeError:
+        pass
+    assert not target.exists()
+    assert not list(tmp_path.glob("*.tmp"))
+
+
+def test_stream_writer_empty_matrix(tmp_path):
+    from raystrack_tpu.io import VFMatrixStreamWriter
+
+    with VFMatrixStreamWriter(str(tmp_path / "empty")) as w:
+        pass
+    assert load_vf_matrix_json(str(tmp_path / "empty.json")) == {}
