@@ -81,6 +81,12 @@ PALLAS_MAX_TRIS = _env_int("RAYSTRACK_TPU_PALLAS_MAX_TRIS", 32768)
 PALLAS_RAY_BLOCK = _env_int("RAYSTRACK_TPU_PALLAS_RAY_BLOCK", 256)
 PALLAS_TRI_TILE = _env_int("RAYSTRACK_TPU_PALLAS_TRI_TILE", 2048)
 
+# Scheduled-driver flat-table budget: the whole-scene scheduler keeps 7 f32
+# per-ray tables spanning every emitter's padded ray count on device; past
+# this many total rays it declines and the per-emitter drivers run instead
+# (64M rays ~= 1.8 GB of tables).
+SCHED_MAX_FLAT_RAYS = _env_int("RAYSTRACK_TPU_SCHED_MAX_FLAT_RAYS", 67_108_864)
+
 # Distance-gate capacity: tile counts above this fall back to the ungated
 # sweep (the gate's AABB/order tables live in scalar memory; 2048 tiles =
 # ~128 KB of SMEM tables, measured fine on v5e — 4M gated triangles at the

@@ -58,13 +58,25 @@ def _select_bvh(bvh: Optional[str], total_faces: int) -> bool:
     return total_faces >= _BVH_AUTO_THRESHOLD
 
 
-def _use_scheduler(device) -> bool:
-    """Whether XLA-swept multi-emitter solves use the whole-scene scheduled
-    driver (one dispatch per convergence round) instead of grouped vmap
-    batching. "auto" = scheduled on accelerators (per-dispatch overhead
-    dominates small scenes there), grouped on the CPU backend."""
-    from .config import SCHEDULER
+def _use_scheduler(device, emitters=None, rays: int = 0, align: int = 1) -> bool:
+    """Whether multi-emitter solves use the whole-scene scheduled driver
+    (one dispatch per convergence round) instead of grouped vmap batching.
+    "auto" = scheduled on accelerators (per-dispatch overhead dominates
+    small scenes there), grouped on the CPU backend.
 
+    The scheduled driver reads rays from scene-wide flat tables (7 f32
+    arrays spanning every emitter's padded ray count); when that total
+    exceeds SCHED_MAX_FLAT_RAYS the scheduler is declined even if requested,
+    so huge-emitter scenes fall back to per-emitter drivers instead of
+    exhausting device memory on tables."""
+    from .config import SCHED_MAX_FLAT_RAYS, SCHEDULER
+
+    if emitters is not None:
+        from .prepared import _pad_rays
+
+        total = sum(_pad_rays(e.n_cells * rays, align) for e in emitters)
+        if total > SCHED_MAX_FLAT_RAYS:
+            return False
     if SCHEDULER == "scheduled":
         return True
     if SCHEDULER == "grouped":
@@ -1119,7 +1131,6 @@ def view_factor_matrix(
     reciprocity = bool(p["reciprocity"])
     flip_faces = bool(p["flip_faces"])
 
-    use_scheduler = _use_scheduler(device)
     result: VFDict = {name: {} for name, _, _ in meshes}
     stats_result: VFDict = {}
     profiler = _maybe_profiler()
@@ -1133,6 +1144,7 @@ def view_factor_matrix(
     kernel, interpret = _resolve_kernel(device, mesh, prepared_solver.total_faces)
     scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
     align = _ray_align(mesh)
+    use_scheduler = _use_scheduler(device, emitters, p["rays"], align)
 
     n_surf = len(meshes)
     n_restored = 0
@@ -1322,6 +1334,7 @@ def view_factor_to_tregenza_sky(
     )
     result: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
     store = _CheckpointStore(checkpoint_dir, p, meshes) if checkpoint_dir else None
+    use_scheduler = _use_scheduler(device, emitters, p["rays"], align)
 
     n_surf = len(meshes)
     n_restored = 0
@@ -1342,9 +1355,9 @@ def view_factor_to_tregenza_sky(
             surf_active = _build_emitter_surface_mask(
                 idx_emit, emitter, bounds_center, bounds_extent
             )
-            em_pack = prepared_solver.get_emitter_pack(
-                idx_emit, samples=p["samples"], rays=p["rays"],
-                flip_faces=False, align=align, device=pack_dev, ray_device=ray_dev,
+            em_pack = _make_emitter_pack(
+                prepared_solver, idx_emit, p, False, align, pack_dev, ray_dev,
+                lazy=(mesh is None and use_scheduler),
             )
             run = _EmitterRun(
                 scene_pack, em_pack, surf_active, idx_emit, 0,
@@ -1381,7 +1394,7 @@ def view_factor_to_tregenza_sky(
         entry["started"] = t_solve
         entry["on_done"] = _save_sky
     if mesh is None and len(entries) > 1:
-        if _use_scheduler(device):
+        if use_scheduler:
             _drive_sky_scheduled(
                 entries, prepared_solver, p, align, scene_pack, pack_dev,
                 n_surf, discrete=discrete, kernel=kernel, interpret=interpret,
@@ -1482,6 +1495,7 @@ def view_factor_matrix_and_sky(
     vf_scene: VFDict = {name: {} for name, _, _ in meshes}
     sky_keys = [f"Sky_Patch_{i}" for i in range(1, 146)] if discrete else ["Sky"]
     sky_vf: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
+    use_scheduler = _use_scheduler(device, emitters, mp["rays"], align)
 
     n_surf = len(meshes)
     n_restored = 0
@@ -1508,9 +1522,9 @@ def view_factor_matrix_and_sky(
             idx_emit, n_surf, reciprocity, surf_active
         )
         emit_sid, matrix_min_sid = _matrix_skip(idx_emit, reciprocity)
-        em_pack = prepared_solver.get_emitter_pack(
-            idx_emit, samples=mp["samples"], rays=mp["rays"],
-            flip_faces=False, align=align, device=pack_dev, ray_device=ray_dev,
+        em_pack = _make_emitter_pack(
+            prepared_solver, idx_emit, mp, False, align, pack_dev, ray_dev,
+            lazy=(mesh is None and use_scheduler),
         )
         run = _EmitterRun(
             scene_pack, em_pack, surf_active, emit_sid, matrix_min_sid,
@@ -1585,7 +1599,7 @@ def view_factor_matrix_and_sky(
     for entry in entries:
         entry["started"] = t_solve
         entry["on_done"] = _assemble
-    if mesh is None and len(entries) > 1 and _use_scheduler(device):
+    if mesh is None and len(entries) > 1 and use_scheduler:
         _drive_combined_scheduled(
             entries, prepared_solver, mp, align, scene_pack, pack_dev,
             n_surf, discrete=discrete, kernel=kernel, interpret=interpret,

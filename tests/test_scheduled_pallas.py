@@ -219,3 +219,33 @@ def test_matrix_scheduled_pallas_accel_exact(monkeypatch):
     assert view_factor_matrix(meshes, params=params_on) == view_factor_matrix(
         meshes, params=params_off
     )
+
+
+def test_flat_table_budget_declines_scheduler(monkeypatch):
+    """Past SCHED_MAX_FLAT_RAYS the scheduled driver must decline (the flat
+    ray tables would not fit) and the per-emitter drivers produce the same
+    result."""
+    from raystrack_tpu import config
+
+    meshes = _cloud_scene(530, seed=14)
+    params = MatrixParams(samples=2, rays=32, seed=4, device="cpu",
+                          bvh="builtin", max_iters=3, min_iters=2, tol=1e-3)
+    base = view_factor_matrix(meshes, params=params)
+    monkeypatch.setattr(config, "SCHEDULER", "scheduled")
+    monkeypatch.setattr(config, "SCHED_MAX_FLAT_RAYS", 1)
+    assert view_factor_matrix(meshes, params=params) == base
+
+
+def test_gate_cap_fallback_ungated(monkeypatch):
+    """Past GATE_MAX_TILES the Pallas sweep runs ungated; results must not
+    change."""
+    from raystrack_tpu import config
+
+    meshes = _cloud_scene(560, seed=8)  # same scene as the scheduled test
+    params = MatrixParams(samples=2, rays=32, seed=4, device="cpu",
+                          bvh="builtin", max_iters=4, min_iters=2, tol=1e-3,
+                          reciprocity=True)
+    base = view_factor_matrix(meshes, params=params)
+    monkeypatch.setattr(config, "KERNEL", "pallas")
+    monkeypatch.setattr(config, "GATE_MAX_TILES", 1)
+    assert view_factor_matrix(meshes, params=params) == base
