@@ -675,21 +675,56 @@ def scheduled_trace_pallas(
     # combined rows: m_any + m_mat in {0, 1, 2} (m_mat is a subset of m_any)
     masks = m_any_all.astype(jnp.float32) + m_mat_all.astype(jnp.float32)
 
-    def gen_row(row):
-        e = row[0]
-        tb = tuple(
-            jax.lax.dynamic_slice_in_dim(t, row[2], sched_block, axis=0)
-            for t in tables_flat
-        )
-        geom_e = tuple(
-            jax.lax.dynamic_index_in_dim(g, e, axis=0, keepdims=False)
-            for g in geom_stacked
-        )
-        o, d = generate_rays(tb, geom_e, cp[row[1]])
-        valid = row[3] + jnp.arange(sched_block, dtype=jnp.int32) < n_rays_once[e]
-        return o, d, valid
-
-    o, d, ray_valid = jax.vmap(gen_row)(schedule)  # (nb, SB, 3) / (nb, SB)
+    # Batched raygen: whole-row takes from (n_blocks, SB)-shaped tables and
+    # single-level per-ray gathers from emitter-flattened geometry. Bitwise
+    # identical to per-row generate_rays, ~2x faster than vmapping dynamic
+    # slices (which lower to elementwise gathers).
+    cdf_s, tri_a, tri_e1, tri_e2, tri_u, tri_v, tri_n, tri_eps = geom_stacked
+    n_geom, f_max = cdf_s.shape  # may carry more rows than the emitter set
+    flat3 = lambda g: g.reshape(n_geom * f_max, 3)
+    a_f, e1_f, e2_f, u_f, v_f, n_f = map(
+        flat3, (tri_a, tri_e1, tri_e2, tri_u, tri_v, tri_n)
+    )
+    eps_f = tri_eps.reshape(n_geom * f_max)
+    row_ids = schedule[:, 2] // sched_block
+    u_c, v_c, h_tri, h_u, h_v, h_r1, h_r2 = (
+        jnp.take(t.reshape(-1, sched_block), row_ids, axis=0)
+        for t in tables_flat
+    )
+    cp_b = jnp.take(cp, schedule[:, 1], axis=0)  # (nb, 7)
+    c = lambda k: cp_b[:, k : k + 1]
+    ug = jnp.mod(u_c + c(0), 1.0)
+    vg = jnp.mod(v_c + c(1), 1.0)
+    q_tri = jnp.mod(h_tri + c(2), 1.0)
+    cdf_b = jnp.take(cdf_s, schedule[:, 0], axis=0)
+    tri = jnp.clip(
+        jax.vmap(lambda cd, q: jnp.searchsorted(cd, q, side="left"))(cdf_b, q_tri),
+        0, f_max - 1,
+    )
+    gidx = schedule[:, 0:1] * f_max + tri  # (nb, SB) flat triangle ids
+    take3 = lambda g: jnp.take(g, gidx.reshape(-1), axis=0).reshape(
+        gidx.shape + (3,)
+    )
+    g_a, g_e1, g_e2, g_u, g_v, g_n = map(take3, (a_f, e1_f, e2_f, u_f, v_f, n_f))
+    g_eps = jnp.take(eps_f, gidx.reshape(-1), axis=0).reshape(gidx.shape)
+    ur = jnp.mod(h_u + c(3) + ug, 1.0)
+    vr = jnp.mod(h_v + c(4) + vg, 1.0)
+    s = jnp.sqrt(ur)
+    point = g_a + (s * vr)[..., None] * g_e1 + (s * (1.0 - vr))[..., None] * g_e2
+    r1 = jnp.mod(h_r1 + c(5), 1.0)
+    r2 = jnp.mod(h_r2 + c(6), 1.0)
+    sin_t = jnp.sqrt(1.0 - r1)
+    phi = TWO_PI * r2
+    d = (
+        (sin_t * jnp.cos(phi))[..., None] * g_u
+        + (sin_t * jnp.sin(phi))[..., None] * g_v
+        + jnp.sqrt(r1)[..., None] * g_n
+    )
+    o = point + g_eps[..., None] * g_n
+    ray_valid = (
+        schedule[:, 3:4] + jnp.arange(sched_block, dtype=jnp.int32)[None, :]
+        < jnp.take(n_rays_once, schedule[:, 0])[:, None]
+    )  # (nb, SB)
     if accel is not None:
         # Coherence sort within each schedule row (rows never mix emitters),
         # so the block-level AABB gate sees tight ray bundles. Histograms
