@@ -21,6 +21,16 @@ def _env_int(name: str, default: int, *, minimum: int = 1) -> int:
         return max(minimum, int(default))
 
 
+def _env_float(name: str, default: float) -> float:
+    raw = os.environ.get(name)
+    if raw is None:
+        return float(default)
+    try:
+        return float(raw)
+    except Exception:
+        return float(default)
+
+
 # Rays processed per inner tile of the trace sweep. Also the ray-count
 # alignment unit: per-emitter ray batches are zero-padded to a multiple.
 RAY_BLOCK = _env_int("RAYSTRACK_TPU_RAY_BLOCK", 2048)
@@ -80,6 +90,14 @@ PALLAS_MAX_TRIS = _env_int("RAYSTRACK_TPU_PALLAS_MAX_TRIS", 32768)
 # scenes; ray blocks of 1024+ overflow VMEM and fail to compile).
 PALLAS_RAY_BLOCK = _env_int("RAYSTRACK_TPU_PALLAS_RAY_BLOCK", 256)
 PALLAS_TRI_TILE = _env_int("RAYSTRACK_TPU_PALLAS_TRI_TILE", 2048)
+
+# Mid-emitter progress checkpoints: while an emitter is still converging,
+# its exact monitor state snapshots to
+# <checkpoint_dir>/emitter_NNNNN.progress.json at most every this many
+# seconds, so very long single-emitter solves resume mid-stream (the
+# iteration RNG is absolute-indexed, so a resumed solve is bit-identical).
+# 0 = snapshot after every chunk; negative disables snapshots.
+CHECKPOINT_PROGRESS_S = _env_float("RAYSTRACK_TPU_CHECKPOINT_PROGRESS_S", 60.0)
 
 # Scheduled-driver flat-table budget: the whole-scene scheduler keeps 7 f32
 # per-ray tables spanning every emitter's padded ray count on device; past

@@ -438,6 +438,25 @@ def _drive_grouped(entries, *, want_matrix: bool, want_any: bool,
                 member["run"].itr_next = mon.iters_done
                 if mon.done:
                     _entry_done(member)
+                else:
+                    _entry_progress(member)
+
+
+def _entry_progress(entry) -> None:
+    """Rate-limited mid-emitter snapshot hook, fired by every driver after an
+    entry's chunk replay. No-op unless the solve attached ``on_progress``."""
+    callback = entry.get("on_progress")
+    if callback is None or entry.get("_finished"):
+        return
+    from .config import CHECKPOINT_PROGRESS_S
+
+    if CHECKPOINT_PROGRESS_S < 0:
+        return
+    now = time.time()
+    if now - entry.get("_progress_ts", 0.0) < CHECKPOINT_PROGRESS_S:
+        return
+    entry["_progress_ts"] = now
+    callback(entry)
 
 
 def _entry_done(entry) -> None:
@@ -681,6 +700,8 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             consume(entry, host, start_row, bpi, chunk)
             if not entry_pending(entry):
                 _entry_done(entry)
+            else:
+                _entry_progress(entry)
         pending = [e for e in pending if entry_pending(e)]
 
 
@@ -850,6 +871,7 @@ def _drive_pipelined(entries, *, want_matrix: bool, want_any: bool,
         if mon.done:
             _entry_done(entry)
         else:
+            _entry_progress(entry)
             queue.append(entry)
 
 
@@ -958,6 +980,7 @@ def _drive_combined_pipelined(entries, *, discrete: bool, depth: int = 3) -> Non
         if m_done and s_done:
             _entry_done(entry)
         else:
+            _entry_progress(entry)
             queue.append(entry)
 
 
@@ -1081,13 +1104,43 @@ class _CheckpointStore:
             "backfill": backfill,
             "stats": stats,
         }
+        self._write(self._path(idx), payload)
+        self.clear_progress(idx)
+
+    def _write(self, path, payload) -> None:
         import os
 
         # per-process tmp name: two resuming solves sharing a checkpoint dir
         # must not interleave writes before the atomic publish
-        tmp = self._path(idx).with_suffix(f".{os.getpid()}.tmp")
+        tmp = path.with_suffix(f".{os.getpid()}.tmp")
         tmp.write_text(self._json.dumps(payload, sort_keys=True), encoding="utf-8")
-        tmp.replace(self._path(idx))
+        tmp.replace(path)
+
+    # -- mid-emitter progress snapshots -----------------------------------
+
+    def _progress_path(self, idx: int):
+        return self.dir / f"emitter_{idx:05d}.progress.json"
+
+    def load_progress(self, idx: int):
+        """Monitor-state snapshot of a partially converged emitter, or None."""
+        path = self._progress_path(idx)
+        if not path.exists():
+            return None
+        try:
+            data = self._json.loads(path.read_text(encoding="utf-8"))
+        except Exception:
+            return None
+        if data.get("fingerprint") != self.fingerprint:
+            return None
+        return data
+
+    def save_progress(self, idx: int, state: Dict) -> None:
+        self._write(
+            self._progress_path(idx), {"fingerprint": self.fingerprint, **state}
+        )
+
+    def clear_progress(self, idx: int) -> None:
+        self._progress_path(idx).unlink(missing_ok=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1194,6 +1247,15 @@ def view_factor_matrix(
             min_iters=p["min_iters"], interval=interval,
             max_iters=p["max_iters"],
         )
+        if store is not None:
+            progress = store.load_progress(idx_emit)
+            if progress is not None:
+                monitor.load_state(progress["monitor"])
+                run.itr_next = monitor.iters_done
+                _emit_log(
+                    f"({idx_emit + 1}/{n_surf}) [{name_e}] resuming from "
+                    f"iteration {monitor.iters_done}"
+                )
         entries.append(
             dict(run=run, monitor=monitor, idx=idx_emit, name=name_e,
                  receivers=receivers, surf_active=surf_active,
@@ -1237,6 +1299,14 @@ def view_factor_matrix(
     for entry in entries:
         entry["started"] = t_solve
         entry["on_done"] = _assemble
+        if store is not None:
+            entry["on_progress"] = lambda e: store.save_progress(
+                e["idx"], {"monitor": e["monitor"].state_dict()}
+            )
+        if entry["monitor"].done:
+            # a progress snapshot taken after convergence but before the
+            # full checkpoint landed: assemble immediately, trace nothing
+            _entry_done(entry)
 
     # Phase 2: whole-scene scheduled dispatches when possible, then the
     # pipelined per-emitter driver for anything left (single emitters,
@@ -1371,6 +1441,15 @@ def view_factor_to_tregenza_sky(
                 min_iters=p["min_iters"], interval=interval,
                 max_iters=p["max_iters"],
             )
+            if store is not None:
+                progress = store.load_progress(idx_emit)
+                if progress is not None:
+                    monitor.load_state(progress["monitor"])
+                    run.itr_next = monitor.iters_done
+                    _emit_log(
+                        f"({idx_emit + 1}/{n_surf}) [{name_e}] resuming from "
+                        f"iteration {monitor.iters_done}"
+                    )
             entries.append(
                 dict(run=run, monitor=monitor, idx=idx_emit, name=name_e,
                      surf_active=surf_active, emit_sid=idx_emit, min_sid=0)
@@ -1393,6 +1472,12 @@ def view_factor_to_tregenza_sky(
     for entry in entries:
         entry["started"] = t_solve
         entry["on_done"] = _save_sky
+        if store is not None:
+            entry["on_progress"] = lambda e: store.save_progress(
+                e["idx"], {"monitor": e["monitor"].state_dict()}
+            )
+        if entry["monitor"].done:
+            _entry_done(entry)
     if mesh is None and len(entries) > 1:
         if use_scheduler:
             _drive_sky_scheduled(
@@ -1550,12 +1635,28 @@ def view_factor_matrix_and_sky(
             interval=1 if device.platform == "cpu" else sp["convergence_interval"],
             max_iters=sp["max_iters"],
         )
+        if store is not None:
+            progress = store.load_progress(idx_emit)
+            if progress is not None:
+                if matrix_mon is not None and progress.get("matrix") is not None:
+                    matrix_mon.load_state(progress["matrix"])
+                sky_mon.load_state(progress["sky"])
+                trace_iters = max(
+                    matrix_mon.iters_done if matrix_mon is not None else 0,
+                    sky_mon.iters_done,
+                )
+                run.itr_next = trace_iters
+                _emit_log(
+                    f"({idx_emit + 1}/{n_surf}) [{name_e}] resuming from "
+                    f"iteration {trace_iters}"
+                )
         entries.append(
             dict(run=run, matrix_mon=matrix_mon, sky_mon=sky_mon,
                  idx=idx_emit, name=name_e, receivers=receivers,
                  surf_active=surf_active, emit_sid=emit_sid,
                  min_sid=matrix_min_sid)
         )
+        entries[-1]["trace_iters"] = run.itr_next
 
     def _assemble(entry) -> None:
         """Build the emitter's matrix row, back-fill and sky row; checkpoint
@@ -1599,6 +1700,20 @@ def view_factor_matrix_and_sky(
     for entry in entries:
         entry["started"] = t_solve
         entry["on_done"] = _assemble
+        if store is not None:
+            entry["on_progress"] = lambda e: store.save_progress(
+                e["idx"],
+                {
+                    "matrix": (
+                        None if e["matrix_mon"] is None
+                        else e["matrix_mon"].state_dict()
+                    ),
+                    "sky": e["sky_mon"].state_dict(),
+                },
+            )
+        m, s = entry["matrix_mon"], entry["sky_mon"]
+        if (m is None or m.done) and s.done:
+            _entry_done(entry)
     if mesh is None and len(entries) > 1 and use_scheduler:
         _drive_combined_scheduled(
             entries, prepared_solver, mp, align, scene_pack, pack_dev,

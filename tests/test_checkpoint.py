@@ -213,3 +213,85 @@ def test_workflow_fallback_checkpoint_dirs(tmp_path):
         MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=str(ckpt)
     )
     assert resumed == base
+
+
+def test_mid_emitter_progress_resume(tmp_path, monkeypatch):
+    """A solve killed while emitters are still converging resumes from the
+    per-emitter progress snapshots (exact monitor state + absolute-indexed
+    RNG stream) and finishes bit-identical to an uninterrupted solve."""
+    from raystrack_tpu import config
+
+    ckpt = str(tmp_path / "ckpt")
+    plain = view_factor_matrix(MESHES, params=PARAMS)
+
+    monkeypatch.setattr(config, "CHECKPOINT_PROGRESS_S", 0.0)
+    real_done = solver_mod._entry_done
+    boom = RuntimeError("killed mid-solve")
+
+    def crash_on_first_completion(entry):
+        raise boom
+
+    monkeypatch.setattr(solver_mod, "_entry_done", crash_on_first_completion)
+    try:
+        view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=ckpt)
+    except RuntimeError as e:
+        assert e is boom
+    monkeypatch.setattr(solver_mod, "_entry_done", real_done)
+    progress = sorted(p.name for p in (tmp_path / "ckpt").glob("*.progress.json"))
+    assert progress, "no mid-emitter snapshots were written"
+
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    resumed = view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=ckpt)
+    assert resumed == plain
+    assert any("resuming from iteration" in l for l in lines)
+    # finished emitters clear their snapshots
+    assert not list((tmp_path / "ckpt").glob("*.progress.json"))
+
+
+def test_mid_emitter_progress_cleared_on_completion(tmp_path, monkeypatch):
+    from raystrack_tpu import config
+
+    monkeypatch.setattr(config, "CHECKPOINT_PROGRESS_S", 0.0)
+    ckpt = tmp_path / "ckpt"
+    out = view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=str(ckpt))
+    assert out == view_factor_matrix(MESHES, params=PARAMS)
+    assert not list(ckpt.glob("*.progress.json"))
+    assert len(list(ckpt.glob("emitter_*.json"))) == 3
+
+
+def test_mid_emitter_progress_resume_workflow(tmp_path, monkeypatch):
+    """The shared-ray workflow resumes mid-emitter with BOTH monitors'
+    state (matrix and sky iteration counts may differ at the kill point)."""
+    from raystrack_tpu import SkyParams, config, view_factor_matrix_and_sky
+
+    mp = MatrixParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                      max_iters=8, min_iters=2, tol=1e-3, reciprocity=True)
+    sp = SkyParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                   max_iters=4, min_iters=2, tol=1e-3)
+    plain = view_factor_matrix_and_sky(MESHES, matrix_params=mp, sky_params=sp)
+
+    ckpt = str(tmp_path / "wf_ckpt")
+    monkeypatch.setattr(config, "CHECKPOINT_PROGRESS_S", 0.0)
+    real_done = solver_mod._entry_done
+    boom = RuntimeError("killed mid-solve")
+    monkeypatch.setattr(
+        solver_mod, "_entry_done",
+        lambda entry: (_ for _ in ()).throw(boom),
+    )
+    try:
+        view_factor_matrix_and_sky(
+            MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=ckpt
+        )
+    except RuntimeError as e:
+        assert e is boom
+    monkeypatch.setattr(solver_mod, "_entry_done", real_done)
+    assert list((tmp_path / "wf_ckpt").glob("*.progress.json"))
+
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    resumed = view_factor_matrix_and_sky(
+        MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=ckpt
+    )
+    assert resumed == plain
+    assert any("resuming from iteration" in l for l in lines)
