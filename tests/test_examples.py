@@ -19,6 +19,7 @@ EXAMPLES = [
     "examples.ex04_inside_enclosure",
     "examples.ex05_prepared_seed_compare",
     "examples.ex06_city_block",
+    "examples.ex07_resumable_pipeline",
 ]
 
 
@@ -95,3 +96,23 @@ def test_ex03_runs_end_to_end(tmp_path):
                  + sum(sky_vf.get(name, {}).values())
                  + rest_vf[name]["Rest"])
         assert abs(total - 1.0) < 1e-9, (name, total)
+
+
+def test_ex07_runs_end_to_end(tmp_path):
+    """ex07's pipeline executes: PLY+OBJ ingest, checkpointed solve,
+    streamed output parses, and a second run restores from checkpoints."""
+    import json
+
+    mod = importlib.import_module("examples.ex07_resumable_pipeline")
+    path = mod.main(out_dir=str(tmp_path), samples=2, rays=16,
+                    max_iters=3, min_iters=2, tol=1e-2)
+    data = json.loads(Path(path).read_text())
+    assert "terrain" in data and any(k.startswith("tower") for k in data)
+    for row in data.values():
+        total = sum(row.values())
+        assert 0.0 <= total <= 1.0 + 1e-6
+    # resume: everything restores, result identical
+    again = json.loads(Path(mod.main(out_dir=str(tmp_path), samples=2,
+                                     rays=16, max_iters=3, min_iters=2,
+                                     tol=1e-2)).read_text())
+    assert again == data
