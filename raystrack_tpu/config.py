@@ -91,6 +91,15 @@ PALLAS_MAX_TRIS = _env_int("RAYSTRACK_TPU_PALLAS_MAX_TRIS", 32768)
 PALLAS_RAY_BLOCK = _env_int("RAYSTRACK_TPU_PALLAS_RAY_BLOCK", 256)
 PALLAS_TRI_TILE = _env_int("RAYSTRACK_TPU_PALLAS_TRI_TILE", 2048)
 
+# Default persistent JAX compilation cache. Solve-step shapes recur across
+# processes, and on remote-tunnel TPUs each new shape pays tens of seconds
+# of AOT compilation; the solvers therefore enable JAX's persistent cache at
+# this path unless the application already configured one. Empty string
+# disables.
+JAX_CACHE_DIR = os.environ.get(
+    "RAYSTRACK_TPU_JAX_CACHE", os.path.join("~", ".cache", "raystrack_tpu", "jax")
+)
+
 # Mid-emitter progress checkpoints: while an emitter is still converging,
 # its exact monitor state snapshots to
 # <checkpoint_dir>/emitter_NNNNN.progress.json at most every this many

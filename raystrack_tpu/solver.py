@@ -84,6 +84,37 @@ def _use_scheduler(device, emitters=None, rays: int = 0, align: int = 1) -> bool
     return device.platform != "cpu"
 
 
+_compile_cache_checked = False
+
+
+def _ensure_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache unless already configured.
+
+    Best-effort and once per process; an application that set its own cache
+    dir (or disabled via RAYSTRACK_TPU_JAX_CACHE="") is left alone.
+    """
+    global _compile_cache_checked
+    if _compile_cache_checked:
+        return
+    _compile_cache_checked = True
+    from .config import JAX_CACHE_DIR
+
+    if not JAX_CACHE_DIR:
+        return
+    try:
+        import os
+
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            path = os.path.expanduser(JAX_CACHE_DIR)
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization; never block a solve on it
+
+
 def _resolve_device(device: Optional[str]):
     """Map the ``device`` param to a JAX device.
 
@@ -91,6 +122,8 @@ def _resolve_device(device: Optional[str]):
     -> require an accelerator; ``cpu`` -> JAX CPU backend.
     """
     import jax
+
+    _ensure_compile_cache()
 
     dev = (device or "auto").lower()
     if dev not in ("auto", "tpu", "gpu", "cpu"):
