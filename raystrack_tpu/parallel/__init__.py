@@ -5,8 +5,15 @@ from .distribute import (
     mesh_area,
     partition_emitters,
     view_factor_matrix_partition,
+    view_factor_sky_partition,
+    view_factor_workflow_partition,
 )
-from .multihost import initialize, view_factor_matrix_multihost
+from .multihost import (
+    initialize,
+    view_factor_matrix_multihost,
+    view_factor_sky_multihost,
+    view_factor_workflow_multihost,
+)
 
 __all__ = [
     "ray_mesh",
@@ -14,8 +21,12 @@ __all__ = [
     "RAY_AXIS",
     "partition_emitters",
     "view_factor_matrix_partition",
+    "view_factor_sky_partition",
+    "view_factor_workflow_partition",
     "backfill_reciprocity",
     "mesh_area",
     "initialize",
     "view_factor_matrix_multihost",
+    "view_factor_sky_multihost",
+    "view_factor_workflow_multihost",
 ]

@@ -29,7 +29,11 @@ import numpy as np
 
 from ..params import MatrixParams
 from ..prepared import PreparedSolver
-from .distribute import view_factor_matrix_partition
+from .distribute import (
+    view_factor_matrix_partition,
+    view_factor_sky_partition,
+    view_factor_workflow_partition,
+)
 
 Mesh = Tuple[str, np.ndarray, np.ndarray]
 VFDict = Dict[str, Dict[str, float]]
@@ -130,4 +134,83 @@ def view_factor_matrix_multihost(
     return merged
 
 
-__all__ = ["initialize", "view_factor_matrix_multihost"]
+def view_factor_sky_multihost(
+    meshes: List[Mesh],
+    params,
+    *,
+    prepared: Optional[PreparedSolver] = None,
+    mesh=None,
+) -> VFDict:
+    """Sky view factors distributed over all JAX processes.
+
+    Sky rows are independent per emitter, so the merged result is IDENTICAL
+    to the single-process :func:`raystrack_tpu.view_factor_to_tregenza_sky`
+    for any process count.
+    """
+    import jax
+
+    from ..io import merge_vf_matrix
+
+    part, n_parts = jax.process_index(), jax.process_count()
+    local = view_factor_sky_partition(
+        meshes, params, n_parts=n_parts, part=part, prepared=prepared, mesh=mesh
+    )
+    merged = merge_vf_matrix(_exchange_rows(local))
+    sky_keys = (
+        [f"Sky_Patch_{i}" for i in range(1, 146)]
+        if getattr(params, "discrete", False)
+        else ["Sky"]
+    )
+    for name, _, _ in meshes:
+        merged.setdefault(name, {k: 0.0 for k in sky_keys})
+    return merged
+
+
+def view_factor_workflow_multihost(
+    meshes: List[Mesh],
+    matrix_params,
+    sky_params,
+    *,
+    prepared: Optional[PreparedSolver] = None,
+    mesh=None,
+) -> Tuple[VFDict, VFDict]:
+    """Shared-ray (matrix + sky) solve distributed over all JAX processes.
+
+    Mirrors :func:`view_factor_matrix_multihost`: per-worker partitions with
+    the half-matrix skip kept on, transpose back-fill after the merge —
+    identical to the single-process ``view_factor_matrix_and_sky`` for any
+    process count.
+    """
+    import jax
+
+    from ..io import merge_vf_matrix
+    from .distribute import backfill_reciprocity
+
+    part, n_parts = jax.process_index(), jax.process_count()
+    local_vf, local_sky = view_factor_workflow_partition(
+        meshes, matrix_params, sky_params, n_parts=n_parts, part=part,
+        prepared=prepared, mesh=mesh,
+        half_matrix=bool(matrix_params.reciprocity),
+    )
+    gathered = _exchange_rows({"vf": local_vf, "sky": local_sky})
+    vf_merged = merge_vf_matrix([g["vf"] for g in gathered])
+    sky_merged = merge_vf_matrix([g["sky"] for g in gathered])
+    sky_keys = (
+        [f"Sky_Patch_{i}" for i in range(1, 146)]
+        if getattr(sky_params, "discrete", False)
+        else ["Sky"]
+    )
+    for name, _, _ in meshes:
+        vf_merged.setdefault(name, {})
+        sky_merged.setdefault(name, {k: 0.0 for k in sky_keys})
+    if matrix_params.reciprocity:
+        backfill_reciprocity(vf_merged, meshes)
+    return vf_merged, sky_merged
+
+
+__all__ = [
+    "initialize",
+    "view_factor_matrix_multihost",
+    "view_factor_sky_multihost",
+    "view_factor_workflow_multihost",
+]

@@ -128,9 +128,18 @@ def _resolve_device(device: Optional[str]):
     dev = (device or "auto").lower()
     if dev not in ("auto", "tpu", "gpu", "cpu"):
         raise ValueError(f"device must be 'auto', 'tpu', 'gpu', or 'cpu' (got {device!r})")
+
+    def local_first(devices):
+        # Under a multi-process runtime jax.devices() lists every process's
+        # devices and index 0 may be non-addressable here; each process
+        # must solve on its own devices (the partition model).
+        pid = jax.process_index()
+        local = [d for d in devices if d.process_index == pid]
+        return (local or devices)[0]
+
     if dev == "cpu":
-        return jax.devices("cpu")[0]
-    default = jax.devices()[0]
+        return local_first(jax.devices("cpu"))
+    default = local_first(jax.devices())
     if dev in ("tpu", "gpu") and default.platform == "cpu":
         raise RuntimeError(f"device={dev!r} requested but no accelerator is available")
     return default

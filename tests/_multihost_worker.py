@@ -44,8 +44,12 @@ def main() -> int:
     coordinator, num_processes, process_id, out = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
-    from raystrack_tpu import MatrixParams
-    from raystrack_tpu.parallel import initialize, view_factor_matrix_multihost
+    from raystrack_tpu import MatrixParams, SkyParams
+    from raystrack_tpu.parallel import (
+        initialize,
+        view_factor_matrix_multihost,
+        view_factor_sky_multihost,
+    )
 
     pid, count = initialize(
         coordinator_address=coordinator,
@@ -59,7 +63,15 @@ def main() -> int:
         max_iters=6, min_iters=3, tol=1e-3, reciprocity=True,
     )
     merged = view_factor_matrix_multihost(scene(), params)
-    Path(out).write_text(json.dumps(merged, sort_keys=True), encoding="utf-8")
+    sky_params = SkyParams(
+        samples=8, rays=64, seed=4, device="cpu", bvh="off",
+        max_iters=3, min_iters=2, tol=1e-3,
+    )
+    sky = view_factor_sky_multihost(scene(), sky_params)
+    Path(out).write_text(
+        json.dumps({"matrix": merged, "sky": sky}, sort_keys=True),
+        encoding="utf-8",
+    )
     return 0
 
 

@@ -77,6 +77,18 @@ def test_two_process_distributed_solve(tmp_path):
     worker = Path(__file__).parent / "_multihost_worker.py"
     coordinator = f"127.0.0.1:{_free_port()}"
     outs = [tmp_path / f"proc{p}.json" for p in range(2)]
+
+    # Warm the shared persistent compilation cache BEFORE launching: the two
+    # workers' partitions compile different shape sets, and asymmetric cold
+    # compiles can outlast the distributed-shutdown barrier.
+    from raystrack_tpu import SkyParams, view_factor_to_tregenza_sky
+
+    single = view_factor_matrix(MESHES, params=PARAMS)
+    sky_single = view_factor_to_tregenza_sky(
+        MESHES,
+        params=SkyParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                         max_iters=3, min_iters=2, tol=1e-3),
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), coordinator, "2", str(p), str(outs[p])],
@@ -84,12 +96,12 @@ def test_two_process_distributed_solve(tmp_path):
         )
         for p in range(2)
     ]
-    logs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    logs = [p.communicate(timeout=480)[0].decode() for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-2000:]
 
     results = [json.loads(o.read_text()) for o in outs]
     assert results[0] == results[1]
-    single = view_factor_matrix(MESHES, params=PARAMS)
     # JSON round-trip preserves float64 repr exactly
-    assert results[0] == json.loads(json.dumps(single))
+    assert results[0]["matrix"] == json.loads(json.dumps(single))
+    assert results[0]["sky"] == json.loads(json.dumps(sky_single))
