@@ -1198,6 +1198,7 @@ def view_factor_matrix(
     mesh=None,
     return_stats: bool = False,
     checkpoint_dir: Optional[str] = None,
+    row_sink=None,
 ):
     """Scene-to-scene view-factor matrix F(i->j) with front/back splits.
 
@@ -1205,6 +1206,16 @@ def view_factor_matrix(
     stderr}}`` — the per-receiver standard error of the converged estimate.
     Set ``RAYSTRACK_TPU_PROFILE=<dir>`` to capture a jax.profiler trace of
     the solve.
+
+    ``row_sink(name, row)`` is called the moment each emitter's row
+    converges (completion order, not emitter order) — pair it with
+    :class:`raystrack_tpu.VFMatrixStreamWriter` to stream giant matrices to
+    disk as they solve. Sunk rows contain only the emitter's own traced
+    receivers; with ``reciprocity`` the transpose back-fill entries land in
+    OTHER emitters' rows and are not re-sunk (use the returned dict, or run
+    with ``reciprocity=False`` and back-fill downstream, when the sink must
+    see complete rows). Emitters restored from ``checkpoint_dir`` are not
+    re-sunk either — a resumed solve streams only newly converged rows.
 
     ``checkpoint_dir`` makes long solves resumable: each emitter's finished
     output (its row plus any reciprocity back-fill contributions) is written
@@ -1336,6 +1347,8 @@ def view_factor_matrix(
         entry["backfill"] = backfill
         if store is not None:
             store.save(idx_emit, name_e, row, backfill, stats_row)
+        if row_sink is not None:
+            row_sink(name_e, row)
 
     t_solve = time.time()
     for entry in entries:
@@ -1413,13 +1426,20 @@ def view_factor_to_tregenza_sky(
     prepared: Optional[PreparedSolver] = None,
     mesh=None,
     checkpoint_dir: Optional[str] = None,
-) -> VFDict:
+    return_stats: bool = False,
+):
     """Sky view factor per emitter: merged 'Sky' or 145 Tregenza patches.
 
     ``checkpoint_dir`` makes long solves resumable exactly like
     :func:`view_factor_matrix`: each emitter's converged sky row is written
     atomically after it finishes, keyed by a fingerprint of the solve
     configuration and geometry.
+
+    With ``return_stats=True`` also returns ``{emitter: {key: stderr}}`` —
+    the standard error of each sky fraction (per patch when ``discrete``),
+    matching :func:`view_factor_matrix`'s stats contract. The reference
+    computes these internally but never exposes them (reference:
+    main.py:2124-2174).
     """
     if not isinstance(params, SkyParams):
         raise TypeError("params must be a SkyParams instance")
@@ -1445,6 +1465,7 @@ def view_factor_to_tregenza_sky(
         [f"Sky_Patch_{i}" for i in range(1, 146)] if discrete else ["Sky"]
     )
     result: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
+    stats_result: VFDict = {}
     store = _CheckpointStore(checkpoint_dir, p, meshes) if checkpoint_dir else None
     use_scheduler = _use_scheduler(device, emitters, p["rays"], align)
 
@@ -1457,6 +1478,7 @@ def view_factor_to_tregenza_sky(
                 saved = store.load(idx_emit)
                 if saved is not None:
                     result[name_e].update(saved["row"])
+                    stats_result[name_e] = saved.get("stats", {})
                     n_restored += 1
                     _emit_log(
                         f"({idx_emit + 1}/{n_surf}) [{name_e}] restored from "
@@ -1504,11 +1526,18 @@ def view_factor_to_tregenza_sky(
             return {f"Sky_Patch_{i + 1}": float(frac[i]) for i in range(145)}
         return {"Sky": float(monitor.upward_total / total)}
 
+    def _sky_stats(monitor) -> Dict[str, float]:
+        if discrete:
+            se = monitor.bins_w.stderr()
+            return {f"Sky_Patch_{i + 1}": float(se[i]) for i in range(145)}
+        return {"Sky": float(monitor.sky_w.stderr())}
+
     def _save_sky(entry) -> None:
         row = _sky_row(entry["monitor"])
         entry["row"] = row
+        entry["stats"] = _sky_stats(entry["monitor"])
         if store is not None:
-            store.save(entry["idx"], entry["name"], row, {}, {})
+            store.save(entry["idx"], entry["name"], row, {}, entry["stats"])
 
     t_solve = time.time()
     for entry in entries:
@@ -1534,6 +1563,7 @@ def view_factor_to_tregenza_sky(
     for entry in entries:
         idx_emit, name_e, monitor = entry["idx"], entry["name"], entry["monitor"]
         result[name_e].update(entry["row"])
+        stats_result[name_e] = entry.get("stats", {})
 
         _emit_log(
             _progress_line(
@@ -1547,6 +1577,8 @@ def view_factor_to_tregenza_sky(
             f"(not re-traced)"
         )
 
+    if return_stats:
+        return result, stats_result
     return result
 
 

@@ -350,3 +350,58 @@ def test_combined_scheduled_mode_matches_default(monkeypatch):
     scheduled = view_factor_matrix_and_sky(meshes, matrix_params=mp,
                                            sky_params=sp)
     assert scheduled == base
+
+
+def test_sky_return_stats():
+    """return_stats on the sky solver: honest stderr per sky key, matching
+    the matrix solver's stats contract."""
+    meshes = [
+        _square("ground", 2.0, 0.0, normal=+1),
+        _square("mid", 1.5, 0.6, normal=-1, center=(0.4, 0.1)),
+    ]
+    for discrete in (False, True):
+        params = SkyParams(samples=8, rays=64, seed=6, device="cpu",
+                           bvh="off", max_iters=6, min_iters=3, tol=1e-3,
+                           discrete=discrete)
+        base = view_factor_to_tregenza_sky(meshes, params=params)
+        vf, stats = view_factor_to_tregenza_sky(
+            meshes, params=params, return_stats=True
+        )
+        assert vf == base
+        assert set(stats) == {"ground", "mid"}
+        if discrete:
+            assert len(stats["ground"]) == 145
+            assert all(v >= 0.0 for v in stats["ground"].values())
+        else:
+            assert 0.0 <= stats["ground"]["Sky"] < 0.1
+
+
+def test_matrix_row_sink_streams_converged_rows(tmp_path):
+    """row_sink receives every traced row once; paired with the stream
+    writer it produces a file equal to saving the returned dict."""
+    import json
+
+    from raystrack_tpu import (
+        VFMatrixStreamWriter,
+        load_vf_matrix_json,
+        save_vf_matrix_json,
+    )
+
+    meshes = [
+        _square("ground", 2.0, 0.0, normal=+1),
+        _square("mid", 1.5, 0.6, normal=-1, center=(0.4, 0.1)),
+        _square("top", 3.0, 1.2, normal=-1),
+    ]
+    params = _params(max_iters=6, min_iters=3)  # reciprocity off by default
+    sunk = {}
+    with VFMatrixStreamWriter(str(tmp_path / "stream")) as w:
+        def sink(name, row):
+            assert name not in sunk
+            sunk[name] = row
+            w.write_row(name, row)
+
+        vf = view_factor_matrix(meshes, params=params, row_sink=sink)
+    assert sunk == {k: v for k, v in vf.items() if v}
+    ref = save_vf_matrix_json(vf, str(tmp_path / "ref"))
+    assert load_vf_matrix_json(str(tmp_path / "stream.json")) == \
+        load_vf_matrix_json(ref)
