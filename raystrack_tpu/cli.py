@@ -86,6 +86,10 @@ def main(argv: List[str] | None = None) -> int:
                           help="merge _front/_back keys in the output")
     p_matrix.add_argument("--checkpoint-dir", default=None,
                           help="resumable per-emitter checkpoints")
+    p_matrix.add_argument("--stream-out", action="store_true",
+                          help="stream rows to --out as emitters converge "
+                               "(forces --no-reciprocity; rows land in "
+                               "completion order)")
 
     p_sky = sub.add_parser("sky", help="sky view factors (merged or Tregenza)")
     _add_common(p_sky)
@@ -115,12 +119,27 @@ def main(argv: List[str] | None = None) -> int:
     if args.command == "matrix":
         from .solver import view_factor_matrix
 
-        vf = view_factor_matrix(
-            meshes, params=_matrix_params(args),
-            checkpoint_dir=args.checkpoint_dir,
-        )
-        path = save_vf_matrix_json(vf, args.out, strip_dir=args.strip_dir)
-        print(f"Wrote {path}")
+        if args.stream_out:
+            # a streamed row must be complete when written; the reciprocity
+            # back-fill would append to OTHER rows after they were streamed
+            args.no_reciprocity = True
+            from .io import VFMatrixStreamWriter
+
+            with VFMatrixStreamWriter(args.out, strip_dir=args.strip_dir) as w:
+                view_factor_matrix(
+                    meshes, params=_matrix_params(args),
+                    checkpoint_dir=args.checkpoint_dir,
+                    row_sink=w.write_row,
+                )
+                path = w.close()
+            print(f"Wrote {path} (streamed)")
+        else:
+            vf = view_factor_matrix(
+                meshes, params=_matrix_params(args),
+                checkpoint_dir=args.checkpoint_dir,
+            )
+            path = save_vf_matrix_json(vf, args.out, strip_dir=args.strip_dir)
+            print(f"Wrote {path}")
     elif args.command == "sky":
         from .solver import view_factor_to_tregenza_sky
 

@@ -103,3 +103,36 @@ def test_cli_workflow_obj_input(tmp_path):
         + rest_vf.get("bottom", {}).get("Rest", 0.0)
     )
     assert abs(total - 1.0) < 1e-9
+
+
+def test_cli_matrix_stream_out(tmp_path, capsys):
+    """--stream-out writes the matrix row-by-row; file loads and matches a
+    non-streamed solve with reciprocity off."""
+    import json
+
+    import numpy as np
+
+    from raystrack_tpu.cli import main
+    from raystrack_tpu.io import save_meshes_json
+
+    def square(name, z, flip):
+        V = np.array([[-0.5, -0.5, z], [0.5, -0.5, z], [0.5, 0.5, z],
+                      [-0.5, 0.5, z]], np.float32)
+        F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        if flip:
+            F = F[:, [0, 2, 1]].copy()
+        return name, V, F
+
+    scene_path = save_meshes_json(
+        [square("bottom", 0.0, False), square("top", 1.0, True)],
+        str(tmp_path / "scene"),
+    )
+    common = [scene_path, "--samples", "2", "--rays", "16", "--max-iters",
+              "3", "--min-iters", "2", "--device", "cpu", "--no-reciprocity"]
+    main(["matrix", *common, "--out", str(tmp_path / "plain.json")])
+    main(["matrix", *common, "--stream-out", "--out",
+          str(tmp_path / "streamed.json")])
+    plain = json.loads((tmp_path / "plain.json").read_text())
+    streamed = json.loads((tmp_path / "streamed.json").read_text())
+    assert streamed == {k: v for k, v in plain.items() if v} or streamed == plain
+    assert "(streamed)" in capsys.readouterr().out
