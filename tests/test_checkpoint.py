@@ -295,3 +295,29 @@ def test_mid_emitter_progress_resume_workflow(tmp_path, monkeypatch):
     )
     assert resumed == plain
     assert any("resuming from iteration" in l for l in lines)
+
+
+def test_mid_emitter_progress_invalidated_by_config_change(tmp_path, monkeypatch):
+    """Progress snapshots carry the solve fingerprint: a changed seed must
+    not resume from another configuration's mid-solve state."""
+    from raystrack_tpu import config
+
+    ckpt = str(tmp_path / "ckpt")
+    monkeypatch.setattr(config, "CHECKPOINT_PROGRESS_S", 0.0)
+    boom = RuntimeError("killed")
+    monkeypatch.setattr(
+        solver_mod, "_entry_done", lambda e: (_ for _ in ()).throw(boom)
+    )
+    try:
+        view_factor_matrix(MESHES, params=PARAMS, checkpoint_dir=ckpt)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert list((tmp_path / "ckpt").glob("*.progress.json"))
+
+    other = MatrixParams(**{**PARAMS.as_dict(), "seed": 99})
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    got = view_factor_matrix(MESHES, params=other, checkpoint_dir=ckpt)
+    assert got == view_factor_matrix(MESHES, params=other)
+    assert not any("resuming from iteration" in l for l in lines)
