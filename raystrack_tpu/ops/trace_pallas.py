@@ -258,11 +258,15 @@ def _sweep_kernel_streamed(
     are double-buffered into VMEM scratch, so scene size is unbounded.
 
     The sweep is compute-bound for blocks of >= a few hundred rays (each
-    streamed byte feeds ray_block pair tests), so the DMA pipeline hides
-    entirely behind the tile math. With the gate, tiles stream in near-to-far
-    visit order and the (dominant) pair math of pruned tiles is skipped; the
-    DMA itself stays unconditional — it is ~1% of a tile's compute time and
-    keeping it unconditional preserves the simple double-buffer pipeline.
+    streamed byte feeds ray_block pair tests). With the gate, tiles stream
+    in near-to-far visit order AND the DMA itself is conditional: tile j+1's
+    copy starts only if the gate (evaluated against the carry at step j)
+    says some ray could still need it. The gate predicate is monotone
+    non-increasing as best_t shrinks and any_hit fills, so a tile judged
+    unneeded at prefetch time can never become needed — skipping its copy
+    is exact, and the streamed bytes scale with VISITED tiles instead of
+    scene size. A carried flag records whether each slot's copy was issued
+    so waits pair with starts exactly.
     """
     rays = _ray_columns(rays_ref)
     inv = _ray_inv(rays) if use_gate else None
@@ -279,37 +283,83 @@ def _sweep_kernel_streamed(
                 sem_ref.at[slot],
             )
 
-        tile_dma(0, 0).start()
+        if not use_gate:
+            tile_dma(0, 0).start()
 
-        def tile_body(j, carry):
-            slot = j % 2
+            def tile_body(j, carry):
+                slot = j % 2
 
-            @pl.when(j + 1 < n_tiles)
-            def _():
-                tile_dma((j + 1) % 2, j + 1).start()
+                @pl.when(j + 1 < n_tiles)
+                def _():
+                    tile_dma((j + 1) % 2, j + 1).start()
 
-            tile_dma(slot, j).wait()
-            row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
-            if not use_gate:
+                tile_dma(slot, j).wait()
+                row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
                 # tiles stream regardless; skipping saves no DMA here
                 return _tile_step(rays, row, carry, want_matrix=want_matrix,
                                   want_any=want_any)
-            i = src_tile(j)
-            needed = (tiles_on_ref[0, i] > 0) & _gate_needed(
-                rays, inv, aabb_ref, i, carry,
-                want_matrix=want_matrix, want_any=want_any,
-            )
-            return jax.lax.cond(
-                needed,
-                lambda c: _tile_step(rays, row, c, want_matrix=want_matrix,
-                                     want_any=want_any),
-                lambda c: c,
-                carry,
-            )
 
-        best_t, best_code, any_hit = jax.lax.fori_loop(
-            0, n_tiles, tile_body, _sweep_init(rays[3])
-        )
+            carry = jax.lax.fori_loop(
+                0, n_tiles, tile_body, _sweep_init(rays[3])
+            )
+        else:
+            def need(j, carry):
+                i = src_tile(j)
+                return (tiles_on_ref[0, i] > 0) & _gate_needed(
+                    rays, inv, aabb_ref, i, carry,
+                    want_matrix=want_matrix, want_any=want_any,
+                )
+
+            init = _sweep_init(rays[3])
+            started0 = need(0, init)
+
+            @pl.when(started0)
+            def _():
+                tile_dma(0, 0).start()
+
+            def tile_body(j, state):
+                carry = state[:3]
+                started = state[3] > 0
+                slot = j % 2
+
+                # Decide tile j+1's copy from the CURRENT carry. Monotone
+                # gate: false now implies false forever, so the skip is
+                # exact; true now may turn false by math time (a wasted
+                # copy, never a missed one). The lookahead index is clamped:
+                # the predicate short-circuits logically but its operands
+                # still evaluate, and order/aabb reads at n_tiles would be
+                # out of bounds on the last iteration.
+                j_next = jnp.minimum(j + 1, n_tiles - 1)
+                start_next = (j + 1 < n_tiles) & need(j_next, carry)
+
+                @pl.when(start_next)
+                def _():
+                    tile_dma((j + 1) % 2, j_next).start()
+
+                @pl.when(started)
+                def _():
+                    tile_dma(slot, j).wait()
+
+                row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
+                # math runs iff this tile's copy was issued — i.e. the gate
+                # approved it one step ago. Re-checking against the current
+                # carry would halve nothing (the fold is idempotent) and
+                # costs a second slab pass per tile.
+                new_carry = jax.lax.cond(
+                    started,
+                    lambda c: _tile_step(rays, row, c, want_matrix=want_matrix,
+                                         want_any=want_any),
+                    lambda c: c,
+                    carry,
+                )
+                return (*new_carry, start_next.astype(jnp.int32))
+
+            state = jax.lax.fori_loop(
+                0, n_tiles, tile_body, (*init, started0.astype(jnp.int32))
+            )
+            carry = state[:3]
+
+        best_t, best_code, any_hit = carry
         code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
         any_ref[:, :] = any_hit
 
