@@ -470,7 +470,10 @@ def _sweep_kernel_sched_streamed(
     """HBM-streaming scheduled sweep: operand pack AND the (E, Tpad) combined
     mask table stay in HBM; the block's emitter mask tile is double-buffered
     alongside the triangle tile (one extra (1, T) DMA per tile, ~4% of the
-    pack stream, hidden behind the pair math like the pack itself)."""
+    pack stream). With the gate, both copies are conditional exactly as in
+    :func:`_sweep_kernel_streamed`: a tile the gate rules out at prefetch
+    time is never needed again (the predicate is monotone), so its copies
+    are skipped and the streamed bytes scale with visited tiles."""
     rays = _ray_columns(rays_ref)
     inv = _ray_inv(rays) if use_gate else None
     pid = pl.program_id(0)
@@ -498,37 +501,79 @@ def _sweep_kernel_sched_streamed(
                 msem_ref.at[slot],
             )
 
-        tile_dma(0, 0).start()
-        mask_dma(0, 0).start()
+        def start_pair(slot, j):
+            tile_dma(slot, j).start()
+            mask_dma(slot, j).start()
 
-        def tile_body(j, carry):
-            slot = j % 2
-
-            @pl.when(j + 1 < n_tiles)
-            def _():
-                tile_dma((j + 1) % 2, j + 1).start()
-                mask_dma((j + 1) % 2, j + 1).start()
-
-            tile_dma(slot, j).wait()
-            mask_dma(slot, j).wait()
+        def step_with(slot, carry):
             row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
             comb = lambda: mbuf_ref[slot, 0:1, :]
-            step = lambda c: _tile_step(
-                rays, row, c, want_matrix=want_matrix, want_any=want_any,
+            return _tile_step(
+                rays, row, carry, want_matrix=want_matrix, want_any=want_any,
                 m_any_row=comb, m_mat_row=lambda: comb() - 1.0,
             )
-            if not use_gate:
-                return step(carry)
-            i = src_tile(j)
-            needed = (tiles_on_ref[e_tiles, i] > 0) & _gate_needed(
-                rays, inv, aabb_ref, i, carry,
-                want_matrix=want_matrix, want_any=want_any,
-            )
-            return jax.lax.cond(needed, step, lambda c: c, carry)
 
-        best_t, best_code, any_hit = jax.lax.fori_loop(
-            0, n_tiles, tile_body, _sweep_init(rays[3])
-        )
+        if not use_gate:
+            start_pair(0, 0)
+
+            def tile_body(j, carry):
+                slot = j % 2
+
+                @pl.when(j + 1 < n_tiles)
+                def _():
+                    start_pair((j + 1) % 2, j + 1)
+
+                tile_dma(slot, j).wait()
+                mask_dma(slot, j).wait()
+                return step_with(slot, carry)
+
+            carry = jax.lax.fori_loop(
+                0, n_tiles, tile_body, _sweep_init(rays[3])
+            )
+        else:
+            def need(j, carry):
+                i = src_tile(j)
+                return (tiles_on_ref[e_tiles, i] > 0) & _gate_needed(
+                    rays, inv, aabb_ref, i, carry,
+                    want_matrix=want_matrix, want_any=want_any,
+                )
+
+            init = _sweep_init(rays[3])
+            started0 = need(0, init)
+
+            @pl.when(started0)
+            def _():
+                start_pair(0, 0)
+
+            def tile_body(j, state):
+                carry = state[:3]
+                started = state[3] > 0
+                slot = j % 2
+                # clamped lookahead: operands evaluate even under a false
+                # guard, and index n_tiles would read out of bounds
+                j_next = jnp.minimum(j + 1, n_tiles - 1)
+                start_next = (j + 1 < n_tiles) & need(j_next, carry)
+
+                @pl.when(start_next)
+                def _():
+                    start_pair((j + 1) % 2, j_next)
+
+                @pl.when(started)
+                def _():
+                    tile_dma(slot, j).wait()
+                    mask_dma(slot, j).wait()
+
+                new_carry = jax.lax.cond(
+                    started, lambda c: step_with(slot, c), lambda c: c, carry
+                )
+                return (*new_carry, start_next.astype(jnp.int32))
+
+            state = jax.lax.fori_loop(
+                0, n_tiles, tile_body, (*init, started0.astype(jnp.int32))
+            )
+            carry = state[:3]
+
+        best_t, best_code, any_hit = carry
         code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
         any_ref[:, :] = any_hit
 
