@@ -28,8 +28,8 @@ from .io import (
     load_meshes_json,
     merge_vf_matrix,
 )
-from .obj import load_meshes_obj
-from .ply import load_meshes_ply
+from .obj import load_meshes_obj, save_meshes_obj
+from .ply import load_meshes_ply, save_mesh_ply
 
 __version__ = "0.1.0"
 
@@ -49,6 +49,8 @@ __all__ = [
     "save_meshes_json",
     "load_meshes_json",
     "load_meshes_obj",
+    "save_meshes_obj",
     "load_meshes_ply",
+    "save_mesh_ply",
     "merge_vf_matrix",
 ]

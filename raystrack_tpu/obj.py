@@ -85,4 +85,34 @@ def load_meshes_obj(load_path: str, *, default_name: str = "mesh") -> List[Mesh]
     return meshes
 
 
-__all__ = ["load_meshes_obj"]
+def save_meshes_obj(meshes: List[Mesh], save_path: str) -> str:
+    """Write ``[(name, V, F), ...]`` as a Wavefront OBJ with one named
+    object per mesh. Round-trips through :func:`load_meshes_obj` (vertex
+    order and triangle winding preserved)."""
+    path = Path(save_path)
+    if not path.suffix:
+        path = path.with_suffix(".obj")
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    lines: List[str] = ["# raystrack_tpu scene"]
+    base = 0
+    for name, V, F in meshes:
+        V = np.asarray(V, dtype=np.float32)
+        F = np.asarray(F, dtype=np.int64)
+        if V.ndim != 2 or V.shape[1] != 3 or F.ndim != 2 or F.shape[1] != 3:
+            raise ValueError(f"mesh {name!r} must be (N, 3) vertices and (M, 3) faces")
+        lines.append(f"o {name}")
+        lines.extend(
+            # repr of the exact float64 value round-trips back to the same
+            # float32 on load
+            f"v {float(v[0])!r} {float(v[1])!r} {float(v[2])!r}" for v in V
+        )
+        lines.extend(
+            f"f {f[0] + 1 + base} {f[1] + 1 + base} {f[2] + 1 + base}" for f in F
+        )
+        base += V.shape[0]
+    path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(path.resolve())
+
+
+__all__ = ["load_meshes_obj", "save_meshes_obj"]

@@ -217,4 +217,37 @@ def load_meshes_ply(load_path: str, *, name: Optional[str] = None) -> List[Mesh]
     return [(name or path.stem, V, F)]
 
 
-__all__ = ["load_meshes_ply"]
+def save_mesh_ply(mesh: Mesh, save_path: str) -> str:
+    """Write one ``(name, V, F)`` mesh as binary_little_endian PLY.
+
+    Round-trips through :func:`load_meshes_ply` (the name travels as a
+    comment; the loader's ``name=`` argument or the file stem restores it).
+    """
+    name, V, F = mesh
+    V = np.asarray(V, dtype=np.float32)
+    F = np.asarray(F, dtype=np.int32)
+    if V.ndim != 2 or V.shape[1] != 3 or F.ndim != 2 or F.shape[1] != 3:
+        raise ValueError(f"mesh {name!r} must be (N, 3) vertices and (M, 3) faces")
+    path = Path(save_path)
+    if not path.suffix:
+        path = path.with_suffix(".ply")
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"comment mesh {name}\n"
+        f"element vertex {V.shape[0]}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {F.shape[0]}\n"
+        "property list uchar int vertex_indices\nend_header\n"
+    )
+    parts = [header.encode("ascii"), V.astype("<f4").tobytes()]
+    counts = np.full((F.shape[0], 1), 3, dtype=np.uint8)
+    faces = F.astype("<i4")
+    for c, f in zip(counts, faces):
+        parts.append(c.tobytes() + f.tobytes())
+    path.write_bytes(b"".join(parts))
+    return str(path.resolve())
+
+
+__all__ = ["load_meshes_ply", "save_mesh_ply"]

@@ -136,3 +136,22 @@ def test_cli_matrix_stream_out(tmp_path, capsys):
     streamed = json.loads((tmp_path / "streamed.json").read_text())
     assert streamed == {k: v for k, v in plain.items() if v} or streamed == plain
     assert "(streamed)" in capsys.readouterr().out
+
+
+def test_obj_writer_roundtrip(tmp_path):
+    import numpy as np
+
+    from raystrack_tpu.obj import load_meshes_obj, save_meshes_obj
+
+    V1 = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    F1 = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    V2 = (V1 + np.float32([0, 0, 2.5]))[:3]
+    F2 = np.array([[0, 2, 1]], np.int32)
+    meshes = [("floor", V1, F1), ("tilted", V2, F2)]
+    path = save_meshes_obj(meshes, str(tmp_path / "scene"))
+    assert path.endswith(".obj")
+    loaded = load_meshes_obj(path)
+    assert [m[0] for m in loaded] == ["floor", "tilted"]
+    for (n0, Va, Fa), (n1, Vb, Fb) in zip(meshes, loaded):
+        np.testing.assert_array_equal(Va, Vb)
+        np.testing.assert_array_equal(Fa, Fb)

@@ -133,3 +133,23 @@ def test_cli_accepts_ply(tmp_path, capsys):
     main(["matrix", path, "--out", str(out), "--samples", "2", "--rays", "8",
           "--max-iters", "2", "--min-iters", "1", "--device", "cpu"])
     assert out.exists()
+
+
+def test_ply_writer_roundtrip(tmp_path):
+    from raystrack_tpu.ply import save_mesh_ply
+
+    F = np.array([[0, 1, 2], [0, 2, 4], [1, 3, 2]], np.int32)
+    path = save_mesh_ply(("panel", VERTS, F), str(tmp_path / "panel"))
+    assert path.endswith(".ply")
+    [(name, V2, F2)] = load_meshes_ply(path)
+    assert name == "panel"
+    np.testing.assert_array_equal(V2, VERTS)
+    np.testing.assert_array_equal(F2, F)
+
+
+def test_ply_writer_validates(tmp_path):
+    from raystrack_tpu.ply import save_mesh_ply
+
+    with pytest.raises(ValueError, match="must be"):
+        save_mesh_ply(("bad", VERTS[:, :2], np.zeros((1, 3), np.int32)),
+                      str(tmp_path / "bad"))
