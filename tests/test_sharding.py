@@ -92,7 +92,22 @@ def test_sharded_matrix_solve_equals_single():
     assert vf_single == vf_sharded
 
 
-def test_sharded_outside_workflow_runs():
+def test_sharded_sky_solve_equals_single():
+    from raystrack_tpu import view_factor_to_tregenza_sky
+
+    for discrete in (False, True):
+        params = SkyParams(
+            samples=8, rays=64, seed=4, device="cpu", bvh="off",
+            max_iters=5, min_iters=2, tol=1e-3, discrete=discrete,
+        )
+        single = view_factor_to_tregenza_sky(MESHES, params=params)
+        sharded = view_factor_to_tregenza_sky(
+            MESHES, params=params, mesh=ray_mesh()
+        )
+        assert single == sharded
+
+
+def test_sharded_outside_workflow_equals_single():
     mp = MatrixParams(
         samples=8, rays=64, seed=4, device="cpu", bvh="off",
         max_iters=5, min_iters=2, tol=5e-3,
@@ -101,9 +116,12 @@ def test_sharded_outside_workflow_runs():
         samples=8, rays=64, seed=4, device="cpu", bvh="off",
         max_iters=5, min_iters=2, tol=5e-3,
     )
+    base = view_factor_outside_workflow(MESHES, matrix_params=mp, sky_params=sp)
     scene, sky, rest = view_factor_outside_workflow(
         MESHES, matrix_params=mp, sky_params=sp, mesh=ray_mesh()
     )
+    # integer hit counts psum over the mesh: sharded == single bitwise
+    assert (scene, sky, rest) == base
     for name, _, _ in MESHES:
         total = sum(scene.get(name, {}).values()) + sum(sky.get(name, {}).values()) + rest[name]["Rest"]
         assert abs(total - 1.0) < 1e-9
