@@ -81,7 +81,16 @@ def main(out_dir: str | None = None, *, samples: int = 4, rays: int = 64,
         view_factor_matrix,
     )
 
-    out = Path(out_dir) if out_dir else Path(__file__).parent
+    if out_dir:
+        out = Path(out_dir)
+    else:
+        # Scratch artifacts (meshes, checkpoints, streamed output) go to a
+        # stable temp location, NOT the examples/ source dir — re-running
+        # the example must not dirty the repo. Reusing the same directory
+        # across runs keeps the "run it twice, second run resumes" demo.
+        import tempfile
+
+        out = Path(tempfile.gettempdir()) / "raystrack_tpu_ex07"
     out.mkdir(parents=True, exist_ok=True)
 
     ply_path = out / "terrain.ply"

@@ -5,6 +5,13 @@ src/raystrack/main.py:51-64), reinterpreted for the TPU execution model:
 instead of stream counts and pinned-memory budgets, these size the fused
 device chunk step (ray block per inner tile, triangle tile width, and the
 per-dispatch ray budget that bounds speculative iteration chunks).
+
+These are PROCESS-START configuration: the kernel-shaping knobs
+(GATE_MAX_TILES, PALLAS_MAX_TRIS, RAY_BLOCK, tile widths) are read inside
+``@jax.jit``-cached trace functions, so changing a module attribute after
+a given scene shape has compiled silently reuses the already-compiled
+kernel for that shape. Set them via the environment before importing, or
+restart the process (or call ``jax.clear_caches()``) after changing one.
 """
 from __future__ import annotations
 

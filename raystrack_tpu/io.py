@@ -17,6 +17,7 @@ Behaviors preserved for compatibility:
 """
 from __future__ import annotations
 
+import itertools
 import json
 from pathlib import Path
 from typing import Dict, List, Tuple, Union
@@ -163,11 +164,17 @@ class VFMatrixStreamWriter:
                 w.write_row(name, row)
     """
 
+    _instance_seq = itertools.count()
+
     def __init__(self, save_path: str, *, strip_dir: bool = False):
         import os
 
         self._path = _out_path(save_path)
-        self._tmp = self._path.with_suffix(f".{os.getpid()}.tmp")
+        # pid + per-process sequence number: two writers in one process
+        # targeting the same path must not share a temp file.
+        self._tmp = self._path.with_suffix(
+            f".{os.getpid()}.{next(self._instance_seq)}.tmp"
+        )
         self._fh = self._tmp.open("w", encoding="utf-8")
         self._fh.write("{")
         self._strip_dir = bool(strip_dir)

@@ -660,6 +660,19 @@ def scheduled_trace_pallas(
     """
     from .trace_pallas import build_tri_pack, sweep_rays_scheduled
 
+    # The batched raygen below slices the flat tables as (-1, sched_block)
+    # rows, so every emitter's table offset — and hence the flat total —
+    # must be a sched_block multiple. The driver guarantees this by
+    # requesting get_flat_tables(align=RAY_BLOCK); a caller with a
+    # different align would silently read the wrong QMC slices, so fail
+    # loudly here (shapes are static, this raises at trace time).
+    if tables_flat[0].shape[0] % sched_block:
+        raise ValueError(
+            f"flat ray tables ({tables_flat[0].shape[0]} rows) are not a "
+            f"multiple of sched_block={sched_block}; build them with "
+            f"get_flat_tables(align=<multiple of sched_block>)"
+        )
+
     nb = schedule.shape[0]
     n_emit = surf_active_ext.shape[0]
     n_surf = surf_active_ext.shape[1] - 1

@@ -614,6 +614,15 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             PALLAS_RAY_BLOCK if RAY_BLOCK % PALLAS_RAY_BLOCK == 0 else RAY_BLOCK
         )
 
+    # Every flat-table offset must be a RAY_BLOCK multiple: the scheduled
+    # kernels slice the tables as (-1, RAY_BLOCK) rows (ops/trace.py
+    # scheduled_trace_pallas raygen). Offsets are align-multiples, so
+    # align itself must be one.
+    if align % RAY_BLOCK:
+        raise ValueError(
+            f"scheduled driver requires align ({align}) to be a multiple of "
+            f"RAY_BLOCK ({RAY_BLOCK})"
+        )
     tables_flat, geom_stacked, offsets, n_pad = prepared_solver.get_flat_tables(
         samples=p["samples"], rays=p["rays"], flip_faces=flip_faces,
         align=align, device=pack_dev,
@@ -1204,8 +1213,11 @@ def view_factor_matrix(
 
     With ``return_stats=True`` also returns ``{emitter: {receiver_key:
     stderr}}`` — the per-receiver standard error of the converged estimate.
-    Set ``RAYSTRACK_TPU_PROFILE=<dir>`` to capture a jax.profiler trace of
-    the solve.
+    Emitters restored from ``checkpoint_dir`` report the stats their
+    checkpoint recorded (``{}`` for checkpoints from older versions or for
+    skipped emitters), so a resumed solve's stats dict can mix real stderr
+    rows with empty ones. Set ``RAYSTRACK_TPU_PROFILE=<dir>`` to capture a
+    jax.profiler trace of the solve.
 
     ``row_sink(name, row)`` is called the moment each emitter's row
     converges (completion order, not emitter order) — pair it with
@@ -1439,7 +1451,10 @@ def view_factor_to_tregenza_sky(
     the standard error of each sky fraction (per patch when ``discrete``),
     matching :func:`view_factor_matrix`'s stats contract. The reference
     computes these internally but never exposes them (reference:
-    main.py:2124-2174).
+    main.py:2124-2174). Emitters restored from ``checkpoint_dir`` report
+    whatever stats their checkpoint recorded — checkpoints written by
+    older versions (or for skipped/empty emitters) carry ``{}``, so a
+    resumed solve's stats dict can mix real stderr rows with empty ones.
     """
     if not isinstance(params, SkyParams):
         raise TypeError("params must be a SkyParams instance")
