@@ -177,6 +177,39 @@ def base_matrix(vf: Dict[str, Dict[str, float]]) -> Dict[str, Dict[str, float]]:
     return {sender: totals_by_base(row) for sender, row in vf.items()}
 
 
+def face_areas(V: np.ndarray, F: np.ndarray) -> np.ndarray:
+    """Per-triangle areas of one mesh."""
+    e1 = V[F[:, 1]].astype(np.float64) - V[F[:, 0]].astype(np.float64)
+    e2 = V[F[:, 2]].astype(np.float64) - V[F[:, 0]].astype(np.float64)
+    return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+
+
+def aggregate_per_face_rows(raw: Dict[str, Dict[str, float]],
+                            meshes: List[Mesh]) -> Dict[str, Dict[str, float]]:
+    """Area-weighted fold of per-FACE view-factor rows into per-MESH rows.
+
+    External tools (NIST View3D) report one row per triangle, keyed
+    ``{mesh}_{k}`` with 1-based face index k in mesh order. A mesh's view
+    factor to any receiver is the area-weighted mean of its faces' rows,
+    F(mesh->R) = sum_k (A_k / A_mesh) * F(face_k->R); receiver faces simply
+    sum into their base mesh (reference: validation/common_validation.py:
+    281-312, aggregate_view3d_faces).
+    """
+    out: Dict[str, Dict[str, float]] = {}
+    for name, V, F in meshes:
+        areas = face_areas(V, F)
+        total = float(areas.sum())
+        w = (areas / total if total > 0.0
+             else np.full(len(areas), 1.0 / max(1, len(areas))))
+        row: Dict[str, float] = {}
+        for k, wk in enumerate(w, start=1):
+            for rface, value in raw.get(f"{name}_{k}", {}).items():
+                rbase = rface.rsplit("_", 1)[0]
+                row[rbase] = row.get(rbase, 0.0) + float(wk) * float(value)
+        out[name] = row
+    return out
+
+
 def _dense(matrix: Dict[str, Dict[str, float]], names: List[str]) -> np.ndarray:
     return np.array(
         [[float(matrix.get(s, {}).get(r, 0.0)) for r in names] for s in names]

@@ -10,6 +10,7 @@ import validate_05_perpendicular_square_rectangle
 import validate_06_canyon_analytic_compare
 import validate_07_canyon_sky
 import validate_08_cube_interior
+import validate_09_canyon_view3d_compare
 
 CASES = [
     validate_01_parallel_equal_square,
@@ -20,6 +21,7 @@ CASES = [
     validate_06_canyon_analytic_compare,
     validate_07_canyon_sky,
     validate_08_cube_interior,
+    validate_09_canyon_view3d_compare,
 ]
 
 

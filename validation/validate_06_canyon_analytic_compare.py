@@ -5,8 +5,10 @@ Every surface pair in the canyon is fully visible, so the exact F matrix
 follows from view-factor closed forms (parallel-rectangles contour form for
 facade pairs, cumulative perpendicular common-edge formula for road/facade;
 see analytic.canyon_ground_truth). This analytic matrix agrees with the
-NIST View3D numerical reference for the same scene to < 5e-6, so passing
-here is strictly stronger than matching View3D at the 1e-4 tolerance.
+NIST View3D numerical reference for the same scene to < 5e-6 — asserted
+directly by case 09 (validate_09_canyon_view3d_compare) against the
+committed View3D data — so passing here is strictly stronger than matching
+View3D at the 1e-4 tolerance.
 """
 from __future__ import annotations
 
