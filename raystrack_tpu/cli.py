@@ -120,9 +120,14 @@ def main(argv: List[str] | None = None) -> int:
         from .solver import view_factor_matrix
 
         if args.stream_out:
-            # a streamed row must be complete when written; the reciprocity
-            # back-fill would append to OTHER rows after they were streamed
-            args.no_reciprocity = True
+            # streamed rows are complete under reciprocity too: the solver
+            # defers each sink until its row's back-fill has all arrived
+            if getattr(args, "enforce_rowsum", False):
+                parser.error(
+                    "--stream-out streams raw converged rows; "
+                    "--enforce-rowsum post-processes the full matrix and "
+                    "cannot be streamed (drop one of the two)"
+                )
             from .io import VFMatrixStreamWriter
 
             with VFMatrixStreamWriter(args.out, strip_dir=args.strip_dir) as w:

@@ -168,6 +168,46 @@ def _matrix_skip(idx_emit: int, reciprocity: bool) -> Tuple[int, int]:
     return (idx_emit, idx_emit + 1) if reciprocity else (idx_emit, 0)
 
 
+class _OrderedRowSink:
+    """Stream COMPLETE rows to ``row_sink`` under the reciprocity half-solve.
+
+    With ``reciprocity=True`` the transpose back-fill
+    F(i->j) = F(j->i) * Aj / Ai lands in row i the moment emitter j < i
+    converges, and no emitter j > i ever contributes to row i — so row i is
+    complete exactly when emitters 0..i have all finished. This coordinator
+    collects per-emitter results in completion order (the schedulers finish
+    emitters in any order) and sinks rows in EMITTER order as the finished
+    prefix grows, each merged with every back-fill contribution directed at
+    it, making the streamed output equal the returned matrix. Rows restored
+    from checkpoints are not re-sunk (``sink_own=False``) — their back-fill
+    still flows into later rows — matching the resume contract.
+    """
+
+    def __init__(self, sink, names: List[str]):
+        self._sink = sink
+        self._names = names
+        self._pending_backfill: Dict[str, Dict[str, float]] = {}
+        self._finished: Dict[int, Tuple[Dict[str, float], bool]] = {}
+        self._next = 0
+
+    def finish(self, idx: int, row: Dict[str, float],
+               backfill: Dict[str, Dict[str, float]], *,
+               sink_own: bool = True) -> None:
+        for name_r, entries in backfill.items():
+            self._pending_backfill.setdefault(name_r, {}).update(entries)
+        self._finished[idx] = (row, sink_own)
+        while self._next in self._finished:
+            row_i, emit = self._finished.pop(self._next)
+            name = self._names[self._next]
+            contrib = self._pending_backfill.pop(name, None)
+            if emit:
+                complete = dict(row_i)
+                if contrib:
+                    complete.update(contrib)
+                self._sink(name, complete)
+            self._next += 1
+
+
 def _build_emitter_surface_mask(
     idx_emit: int,
     emitter: PreparedEmitter,
@@ -1219,15 +1259,20 @@ def view_factor_matrix(
     rows with empty ones. Set ``RAYSTRACK_TPU_PROFILE=<dir>`` to capture a
     jax.profiler trace of the solve.
 
-    ``row_sink(name, row)`` is called the moment each emitter's row
-    converges (completion order, not emitter order) — pair it with
+    ``row_sink(name, row)`` is called as rows COMPLETE — pair it with
     :class:`raystrack_tpu.VFMatrixStreamWriter` to stream giant matrices to
-    disk as they solve. Sunk rows contain only the emitter's own traced
-    receivers; with ``reciprocity`` the transpose back-fill entries land in
-    OTHER emitters' rows and are not re-sunk (use the returned dict, or run
-    with ``reciprocity=False`` and back-fill downstream, when the sink must
-    see complete rows). Emitters restored from ``checkpoint_dir`` are not
-    re-sunk either — a resumed solve streams only newly converged rows.
+    disk as they solve. With ``reciprocity=False`` a row is complete the
+    moment its emitter converges and rows stream in completion order. With
+    ``reciprocity=True`` row i also carries the transpose back-fill
+    F(i->j) = F(j->i)*Aj/Ai from every earlier emitter j < i, so rows
+    stream in EMITTER order, each sunk as soon as emitters 0..i have all
+    converged, merged with all back-fill directed at it — the streamed
+    output equals the returned matrix. (Exception: rows already finalized
+    by ``enforce_reciprocity_rowsum`` post-processing are not re-sunk; the
+    sink sees the raw converged rows.) Emitters restored from
+    ``checkpoint_dir`` are not re-sunk — a resumed solve streams only newly
+    converged rows, though restored emitters' back-fill still flows into
+    the rows that are.
 
     ``checkpoint_dir`` makes long solves resumable: each emitter's finished
     output (its row plus any reciprocity back-fill contributions) is written
@@ -1266,6 +1311,13 @@ def view_factor_matrix(
 
     n_surf = len(meshes)
     n_restored = 0
+    # Reciprocity lands back-fill in other emitters' rows; the ordered
+    # coordinator defers each sink until its row's back-fill is complete.
+    ordered_sink = (
+        _OrderedRowSink(row_sink, [name for name, _, _ in meshes])
+        if (row_sink is not None and reciprocity)
+        else None
+    )
     # Phase 1: restore checkpoints / skip empty emitters, build the work list
     entries: List[Dict] = []
     for idx_emit, (name_e, _, _) in enumerate(meshes):
@@ -1277,6 +1329,11 @@ def view_factor_matrix(
                     result[other].update(back_entries)
                 stats_result[name_e] = saved.get("stats", {})
                 n_restored += 1
+                if ordered_sink is not None:
+                    ordered_sink.finish(
+                        idx_emit, saved["row"], saved.get("backfill", {}),
+                        sink_own=False,
+                    )
                 _emit_log(
                     f"({idx_emit + 1}/{n_surf}) [{name_e}] restored from "
                     f"checkpoint ({len(saved['row'])} receivers)"
@@ -1294,6 +1351,11 @@ def view_factor_matrix(
             stats_result[name_e] = {}
             if store is not None:
                 store.save(idx_emit, name_e, {}, {}, {})
+            if ordered_sink is not None:
+                # traces nothing itself, but its row still collects earlier
+                # emitters' back-fill (e.g. the LAST emitter under
+                # reciprocity, whose whole row is back-fill)
+                ordered_sink.finish(idx_emit, {}, {})
             continue
 
         emit_sid, min_sid = _matrix_skip(idx_emit, reciprocity)
@@ -1359,7 +1421,9 @@ def view_factor_matrix(
         entry["backfill"] = backfill
         if store is not None:
             store.save(idx_emit, name_e, row, backfill, stats_row)
-        if row_sink is not None:
+        if ordered_sink is not None:
+            ordered_sink.finish(idx_emit, row, backfill)
+        elif row_sink is not None:
             row_sink(name_e, row)
 
     t_solve = time.time()

@@ -405,3 +405,63 @@ def test_matrix_row_sink_streams_converged_rows(tmp_path):
     ref = save_vf_matrix_json(vf, str(tmp_path / "ref"))
     assert load_vf_matrix_json(str(tmp_path / "stream.json")) == \
         load_vf_matrix_json(ref)
+
+
+def test_matrix_row_sink_complete_rows_under_reciprocity(tmp_path):
+    """With reciprocity=True the sink streams rows in emitter order, each
+    carrying its transpose back-fill — streamed output == returned matrix
+    (the trap the half-solve used to create: back-fill landing in already-
+    streamed rows)."""
+    from raystrack_tpu import (
+        VFMatrixStreamWriter,
+        load_vf_matrix_json,
+        save_vf_matrix_json,
+    )
+
+    meshes = [
+        _square("ground", 2.0, 0.0, normal=+1),
+        _square("mid", 1.5, 0.6, normal=-1, center=(0.4, 0.1)),
+        _square("top", 3.0, 1.2, normal=-1),
+    ]
+    params = _params(max_iters=6, min_iters=3, reciprocity=True)
+    order = []
+    with VFMatrixStreamWriter(str(tmp_path / "stream")) as w:
+        def sink(name, row):
+            order.append(name)
+            w.write_row(name, row)
+
+        vf = view_factor_matrix(meshes, params=params, row_sink=sink)
+    # emitter order, every row (the last emitter's row is pure back-fill)
+    assert order == ["ground", "mid", "top"]
+    assert vf["top"]  # back-fill only, must still stream non-empty
+    ref = save_vf_matrix_json(vf, str(tmp_path / "ref"))
+    assert load_vf_matrix_json(str(tmp_path / "stream.json")) == \
+        load_vf_matrix_json(ref)
+
+
+def test_matrix_row_sink_reciprocity_resume_streams_new_rows(tmp_path):
+    """A resumed reciprocity solve does not re-sink restored rows, but the
+    rows it does sink are still complete (restored emitters' back-fill is
+    merged in)."""
+    meshes = [
+        _square("ground", 2.0, 0.0, normal=+1),
+        _square("mid", 1.5, 0.6, normal=-1, center=(0.4, 0.1)),
+        _square("top", 3.0, 1.2, normal=-1),
+    ]
+    params = _params(max_iters=6, min_iters=3, reciprocity=True)
+    ckpt = str(tmp_path / "ckpt")
+    full = view_factor_matrix(meshes, params=params, checkpoint_dir=ckpt)
+
+    # delete the LAST emitter's checkpoint: resume re-traces only "top"
+    import pathlib
+
+    files = sorted(pathlib.Path(ckpt).glob("emitter_*.json"))
+    files[-1].unlink()
+    sunk = {}
+    resumed = view_factor_matrix(
+        meshes, params=params, checkpoint_dir=ckpt,
+        row_sink=lambda n, r: sunk.setdefault(n, r),
+    )
+    assert resumed == full
+    assert list(sunk) == ["top"]
+    assert sunk["top"] == full["top"]  # complete: all back-fill present
