@@ -199,13 +199,25 @@ def _district_solve():
     ps = PreparedSolver(meshes)
     params = MatrixParams(samples=1, rays=32, seed=7, max_iters=8,
                           min_iters=4, tol=1e-3, reciprocity=True)
-    view_factor_matrix(meshes, params=params, prepared=ps)  # warm compile
-    t0 = time.perf_counter()
-    vf = view_factor_matrix(meshes, params=params, prepared=ps)
-    district_s = round(time.perf_counter() - t0, 3)
+    vf = view_factor_matrix(meshes, params=params, prepared=ps)  # warm compile
     n_rows = sum(1 for row in vf.values() if row)
     assert n_rows >= 90, f"district solve degenerate: {n_rows} non-empty rows"
-    return district_s
+    return _timed_min(
+        lambda: view_factor_matrix(meshes, params=params, prepared=ps)
+    )
+
+
+def _timed_min(fn, reps: int = 3) -> float:
+    """Best-of-N wall clock: the remote-tunnel TPU dispatch adds ~100 ms of
+    jitter per RPC, so a single timed run is too noisy to compare across
+    rounds (a prior round recorded a phantom 18% canyon 'regression' that
+    was one noisy sample)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def _canyon_and_plates():
@@ -215,9 +227,7 @@ def _canyon_and_plates():
     meshes = build_street_canyon()
     params = MatrixParams(samples=8, rays=512, seed=11, max_iters=60, min_iters=5)
     view_factor_matrix(meshes, params=params)  # warm all shapes
-    t0 = time.perf_counter()
-    view_factor_matrix(meshes, params=params)
-    canyon_s = round(time.perf_counter() - t0, 3)
+    canyon_s = _timed_min(lambda: view_factor_matrix(meshes, params=params))
 
     def square(name, z, flip):
         V = np.array(
@@ -241,6 +251,43 @@ def _canyon_and_plates():
     return canyon_s, round(err, 8)
 
 
+def _best_committed() -> dict:
+    """Best value per metric across the committed BENCH_r*.json files."""
+    best: dict = {}
+    for path in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
+        try:
+            parsed = json.loads(path.read_text(encoding="utf-8")).get("parsed", {})
+        except Exception:
+            continue
+        v = parsed.get("value")
+        if isinstance(v, (int, float)):
+            best["value"] = max(best.get("value", 0), v)
+        for key in ("canyon_solve_s", "district_97_emitters_solve_s"):
+            t = parsed.get(key)
+            if isinstance(t, (int, float)):
+                best[key] = min(best.get(key, float("inf")), t)
+    return best
+
+
+def _regressions(result: dict) -> list:
+    """Loud >10% regression check vs the best committed round numbers.
+
+    Returns human-readable strings; main() embeds them in the JSON line and
+    exits nonzero so a round that slowed the framework down cannot land a
+    green benchmark silently.
+    """
+    best = _best_committed()
+    out = []
+    v, ref = result.get("value"), best.get("value")
+    if v and ref and v < 0.9 * ref:
+        out.append(f"tests/s {v:.3g} < 90% of best committed {ref:.3g}")
+    for key in ("canyon_solve_s", "district_97_emitters_solve_s"):
+        t, ref = result.get(key), best.get(key)
+        if t and ref and t > 1.1 * ref:
+            out.append(f"{key} {t}s > 110% of best committed {ref}s")
+    return out
+
+
 def main():
     tests_per_sec, rays_per_sec, n_tri_pad, em = _headline()
 
@@ -262,24 +309,28 @@ def main():
         print(f"# district secondary skipped: {type(exc).__name__}: {exc}")
         district_s = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "ray_triangle_tests_per_sec",
-                "value": round(tests_per_sec),
-                "unit": "tests/s",
-                "vs_baseline": round(tests_per_sec / 1.0e9, 3),
-                "rays_per_sec": round(rays_per_sec),
-                "n_tri": int(n_tri_pad),
-                "rays_per_dispatch": int(CHUNK * em.n_rays_pad),
-                "occluded_city_rays_per_sec": city,
-                "device": str(jax.devices()[0]),
-                "canyon_solve_s": canyon_s,
-                "district_97_emitters_solve_s": district_s,
-                "parallel_plates_abs_err": max_df,
-            }
-        )
-    )
+    result = {
+        "metric": "ray_triangle_tests_per_sec",
+        "value": round(tests_per_sec),
+        "unit": "tests/s",
+        "vs_baseline": round(tests_per_sec / 1.0e9, 3),
+        "rays_per_sec": round(rays_per_sec),
+        "n_tri": int(n_tri_pad),
+        "rays_per_dispatch": int(CHUNK * em.n_rays_pad),
+        "occluded_city_rays_per_sec": city,
+        "device": str(jax.devices()[0]),
+        "canyon_solve_s": canyon_s,
+        "district_97_emitters_solve_s": district_s,
+        "parallel_plates_abs_err": max_df,
+    }
+    regressions = _regressions(result)
+    if regressions:
+        result["regressions"] = regressions
+    print(json.dumps(result))
+    if regressions:
+        for msg in regressions:
+            print(f"# PERF REGRESSION: {msg}", file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
