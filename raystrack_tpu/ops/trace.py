@@ -303,15 +303,16 @@ def _sweep_tiles(
         un = u_num * sign
         vn = v_num * sign
         t_hit = t_num / det
-        valid = (
-            (abs_det >= 1e-7)
-            & (un >= 0.0)
-            & (un <= abs_det)
-            & (vn >= 0.0)
-            & (un + vn <= abs_det)
-            & (t_hit > 1e-6)
-            & ray_valid[:, None]
+        # Predicate min-tree (see trace_pallas._tile_step): bitwise-
+        # equivalent to the five chained compares (IEEE: a <= b iff
+        # b - a >= 0; min >= 0 iff all >= 0; NaNs fail either way), fewer
+        # (B, T) ops. The t_hit test has no equivalent subtraction form and
+        # stays a separate compare.
+        margin = jnp.minimum(
+            jnp.minimum(jnp.minimum(abs_det - 1e-7, un), vn),
+            jnp.minimum(abs_det - un, abs_det - (un + vn)),
         )
+        valid = (margin >= 0.0) & (t_hit > 1e-6) & ray_valid[:, None]
 
         if want_any:
             any_hit = any_hit | jnp.any(valid & sl1(mask_any)[None, :], axis=1)
@@ -842,17 +843,21 @@ def chunk_body_pallas(
     rays9 = jnp.concatenate([o, d, jnp.cross(o, d)], axis=-1).reshape(n_total, 9)
 
     m_any, m_mat = compute_masks(scene, surf_active_ext, emit_sid, min_sid, plane_vec)
-    tri_pack = build_tri_pack(scene, m_any, m_mat)
+    # bake the primary mask into zeroed cross_e rows (det = 0 rejection), so
+    # the kernel's hot loop runs without per-pair mask tests — result-exact
+    primary = m_any if want_any else m_mat
+    tri_pack = build_tri_pack(scene, m_any, m_mat, bake=primary)
     codes, any_hit = sweep_rays(
         rays9,
         tri_pack,
-        m_any if want_any else m_mat,
+        primary,
         ray_block=ray_block,
         tri_tile=tri_tile,
         want_matrix=want_matrix,
         want_any=want_any,
         interpret=interpret,
         accel=accel,
+        masks_baked=True,
     )
 
     codes = codes.reshape(chunk, n_local)
