@@ -121,6 +121,13 @@ CHECKPOINT_PROGRESS_S = _env_float("RAYSTRACK_TPU_CHECKPOINT_PROGRESS_S", 60.0)
 # (64M rays ~= 1.8 GB of tables).
 SCHED_MAX_FLAT_RAYS = _env_int("RAYSTRACK_TPU_SCHED_MAX_FLAT_RAYS", 67_108_864)
 
+# Scheduled-raygen gather strategy: emitters with at most this many faces
+# use the dense formulation (compare-sum CDF pick + one-hot matmul gather,
+# O(F) per ray but ~10x faster than TPU scalar gathers at small F, and
+# bitwise-identical); bigger emitters keep the gather path, whose cost is
+# O(1) per ray.
+RAYGEN_ONEHOT_MAX_FACES = _env_int("RAYSTRACK_TPU_RAYGEN_ONEHOT_MAX_FACES", 128)
+
 # Distance-gate capacity: tile counts above this fall back to the ungated
 # sweep (the gate's AABB/order tables live in scalar memory; 2048 tiles =
 # ~128 KB of SMEM tables, measured fine on v5e — 4M gated triangles at the

@@ -547,6 +547,7 @@ def scheduled_trace(
     plane_vec: jnp.ndarray,  # (E, 8)
     schedule: jnp.ndarray,  # (nb, 4) i32: [emitter_row, cp_row, table_off, ray_base]
     accel=None,  # optional (tile_lo, tile_hi) at ACCEL_GRAIN granularity
+    sel=None,  # optional (E,) i32: emitter row -> row of the FULL geom stack
     *,
     ray_block: int,
     tri_tile: int,
@@ -567,6 +568,12 @@ def scheduled_trace(
     """
     n_emit = surf_active_ext.shape[0]
     n_surf = surf_active_ext.shape[1] - 1
+    if sel is not None:
+        # compact the full geometry stack to this round's emitter set inside
+        # the program (one fused gather) instead of 8 host-driven device ops
+        geom_stacked = jax.tree.map(
+            lambda g: jnp.take(g, sel, axis=0), geom_stacked
+        )
 
     # Per-emitter triangle masks and tile activity for the (compacted) set
     # of emitters this schedule references. Callers pass per-round stacks,
@@ -641,6 +648,7 @@ def scheduled_trace_pallas(
     plane_vec: jnp.ndarray,  # (E, 8)
     schedule: jnp.ndarray,  # (nb, 4) i32: [emitter_row, cp_row, table_off, ray_base]
     accel=None,  # optional (tile_lo, tile_hi) at ACCEL_GRAIN granularity
+    sel=None,  # optional (E,) i32: emitter row -> row of the FULL geom stack
     *,
     sched_block: int,  # rays per schedule row (the driver's RAY_BLOCK)
     ray_block: int,  # Pallas grid block (divides sched_block)
@@ -677,6 +685,12 @@ def scheduled_trace_pallas(
     nb = schedule.shape[0]
     n_emit = surf_active_ext.shape[0]
     n_surf = surf_active_ext.shape[1] - 1
+    if sel is not None:
+        # compact the full geometry stack to this round's emitter set inside
+        # the program (one fused gather) instead of 8 host-driven device ops
+        geom_stacked = jax.tree.map(
+            lambda g: jnp.take(g, sel, axis=0), geom_stacked
+        )
 
     def emitter_masks(e):
         return compute_masks(
@@ -711,16 +725,55 @@ def scheduled_trace_pallas(
     vg = jnp.mod(v_c + c(1), 1.0)
     q_tri = jnp.mod(h_tri + c(2), 1.0)
     cdf_b = jnp.take(cdf_s, schedule[:, 0], axis=0)
-    tri = jnp.clip(
-        jax.vmap(lambda cd, q: jnp.searchsorted(cd, q, side="left"))(cdf_b, q_tri),
-        0, f_max - 1,
-    )
-    gidx = schedule[:, 0:1] * f_max + tri  # (nb, SB) flat triangle ids
-    take3 = lambda g: jnp.take(g, gidx.reshape(-1), axis=0).reshape(
-        gidx.shape + (3,)
-    )
-    g_a, g_e1, g_e2, g_u, g_v, g_n = map(take3, (a_f, e1_f, e2_f, u_f, v_f, n_f))
-    g_eps = jnp.take(eps_f, gidx.reshape(-1), axis=0).reshape(gidx.shape)
+    from ..config import RAYGEN_ONEHOT_MAX_FACES
+
+    if f_max <= RAYGEN_ONEHOT_MAX_FACES:
+        # Dense small-F formulation, bitwise-identical to the gather path
+        # and ~10x faster (TPU scalar gathers serialize; searchsorted
+        # lowers to a per-ray binary-search gather chain):
+        # - CDF pick by compare-sum: searchsorted(cdf, q, "left") is by
+        #   definition the count of cdf entries < q.
+        # - Geometry fetch as a one-hot batched matmul: exactly one operand
+        #   row per ray is nonzero, and Precision.HIGHEST's f32 emulation
+        #   reproduces 1.0 * v exactly (the bf16 triple-split of v sums
+        #   back to v), so the selected values are the f32 originals.
+        tri = jnp.clip(
+            jnp.sum(cdf_b[:, None, :] < q_tri[:, :, None], axis=2,
+                    dtype=jnp.int32),
+            0, f_max - 1,
+        )
+        pack19 = jnp.concatenate(
+            [tri_a, tri_e1, tri_e2, tri_u, tri_v, tri_n, tri_eps[..., None]],
+            axis=-1,
+        )  # (n_geom, F, 19)
+        pk = jnp.take(pack19, schedule[:, 0], axis=0)  # (nb, F, 19)
+        onehot = (
+            tri[:, :, None] == jnp.arange(f_max, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.float32)
+        g19 = jax.lax.dot_general(
+            onehot, pk,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (nb, SB, 19)
+        g_a, g_e1, g_e2, g_u, g_v, g_n = (
+            g19[..., 3 * k : 3 * k + 3] for k in range(6)
+        )
+        g_eps = g19[..., 18]
+    else:
+        tri = jnp.clip(
+            jax.vmap(lambda cd, q: jnp.searchsorted(cd, q, side="left"))(
+                cdf_b, q_tri
+            ),
+            0, f_max - 1,
+        )
+        gidx = schedule[:, 0:1] * f_max + tri  # (nb, SB) flat triangle ids
+        take3 = lambda g: jnp.take(g, gidx.reshape(-1), axis=0).reshape(
+            gidx.shape + (3,)
+        )
+        g_a, g_e1, g_e2, g_u, g_v, g_n = map(
+            take3, (a_f, e1_f, e2_f, u_f, v_f, n_f)
+        )
+        g_eps = jnp.take(eps_f, gidx.reshape(-1), axis=0).reshape(gidx.shape)
     ur = jnp.mod(h_u + c(3) + ug, 1.0)
     vr = jnp.mod(h_v + c(4) + vg, 1.0)
     s = jnp.sqrt(ur)
@@ -739,10 +792,15 @@ def scheduled_trace_pallas(
         schedule[:, 3:4] + jnp.arange(sched_block, dtype=jnp.int32)[None, :]
         < jnp.take(n_rays_once, schedule[:, 0])[:, None]
     )  # (nb, SB)
-    if accel is not None:
+    from .trace_pallas import gate_prunes
+
+    if gate_prunes(accel, scene[0].shape[0], tri_tile):
         # Coherence sort within each schedule row (rows never mix emitters),
         # so the block-level AABB gate sees tight ray bundles. Histograms
-        # are permutation-invariant per row: results unchanged.
+        # are permutation-invariant per row: results unchanged. Skipped
+        # whenever the gate cannot prune (no accel tables, or the scene
+        # fits a single tile) — the sort exists only to make the gate fire,
+        # and costs more than the whole sweep on small scenes.
         scene_lo = jnp.min(accel[0], axis=0)
         scene_hi = jnp.max(accel[1], axis=0)
         o, d, ray_valid = sort_rays_for_coherence(
@@ -818,7 +876,7 @@ def chunk_body_pallas(
     sweep is the fused VMEM kernel (ops/trace_pallas.py), and the histograms
     reduce the (chunk, n_local) hit codes with plain fused comparisons.
     """
-    from .trace_pallas import build_tri_pack, sweep_rays
+    from .trace_pallas import build_tri_pack, gate_prunes, sweep_rays
 
     chunk = cp.shape[0]
     n_local = tables[0].shape[0]
@@ -830,11 +888,13 @@ def chunk_body_pallas(
         (jnp.arange(n_local, dtype=jnp.int32) + ray_index_base < n_rays_once),
         (chunk, n_local),
     )
-    if accel is not None:
+    if gate_prunes(accel, scene[0].shape[0], tri_tile):
         # Coherence sort (per iteration): the block-level AABB gate only
         # fires when a whole block agrees a tile is irrelevant, which needs
         # direction/origin-coherent blocks. Reductions are permutation-
-        # invariant, so this cannot change any count.
+        # invariant, so this cannot change any count. Skipped when the gate
+        # cannot prune (single-tile scene / no tables): sorting would cost
+        # more than the sweep and save nothing.
         scene_lo = jnp.min(accel[0], axis=0)
         scene_hi = jnp.max(accel[1], axis=0)
         o, d, ray_valid = sort_rays_for_coherence(

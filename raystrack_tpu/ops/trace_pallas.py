@@ -49,6 +49,30 @@ ROW_MASK_ANY = 17
 ROW_MASK_MAT = 18
 
 
+def sweep_tile_width(n_tri_pad: int, tri_tile: int) -> int:
+    """The tile width the sweep kernels will actually use: the requested
+    width shrunk (halved) until it divides the padded triangle count."""
+    tile = min(tri_tile, n_tri_pad)
+    while tile > 128 and n_tri_pad % tile != 0:
+        tile //= 2
+    return tile
+
+
+def gate_prunes(accel, n_tri_pad: int, tri_tile: int) -> bool:
+    """Whether the in-kernel distance gate can skip any pair math for this
+    scene shape: it needs the AABB tables (``accel``), more than one tile
+    (with a single tile there is nothing to prune past), and a tile count
+    within the SMEM table budget. Callers use this to decide whether the
+    per-iteration coherence sort — whose only purpose is making the gate
+    fire — is worth running."""
+    from ..config import GATE_MAX_TILES
+
+    if accel is None:
+        return False
+    n_tiles = n_tri_pad // sweep_tile_width(n_tri_pad, tri_tile)
+    return 1 < n_tiles <= GATE_MAX_TILES
+
+
 def build_tri_pack(scene: Tuple, m_any, m_mat, *, bake=None) -> jnp.ndarray:
     """Assemble the (24, Tpad) f32 operand pack for one dispatch.
 
@@ -640,9 +664,7 @@ def sweep_rays_scheduled(
 
     n = rays.shape[0]
     n_tri_pad = tri_pack.shape[1]
-    tile = min(tri_tile, n_tri_pad)
-    while tile > 128 and n_tri_pad % tile != 0:
-        tile //= 2
+    tile = sweep_tile_width(n_tri_pad, tri_tile)
     n_blocks = n // ray_block
     n_tiles = n_tri_pad // tile
     n_emit = masks.shape[0]
@@ -770,9 +792,7 @@ def sweep_rays(
 
     n = rays.shape[0]
     n_tri_pad = tri_pack.shape[1]
-    tile = min(tri_tile, n_tri_pad)
-    while tile > 128 and n_tri_pad % tile != 0:
-        tile //= 2
+    tile = sweep_tile_width(n_tri_pad, tri_tile)
     n_blocks = n // ray_block
     grid = (n_blocks,)
     n_tiles = n_tri_pad // tile
@@ -866,4 +886,7 @@ def sweep_rays(
     return codes[:, 0], any_hit[:, 0]
 
 
-__all__ = ["build_tri_pack", "sweep_rays", "sweep_rays_scheduled", "TRI_ROWS"]
+__all__ = [
+    "build_tri_pack", "sweep_rays", "sweep_rays_scheduled",
+    "sweep_tile_width", "gate_prunes", "TRI_ROWS",
+]

@@ -451,6 +451,10 @@ class EmitterPack:
     plane_vec: Any  # (8,) f32 [origin, normal, tol, is_planar] for culling
     n_rays_once: int  # true rays per iteration (pre-padding)
     n_rays_pad: int
+    # host mirror of plane_vec: the scheduled driver assembles per-round
+    # plane stacks on host every convergence round, and reading a device
+    # array back costs a blocking D2H RPC (~35 ms on a remote-tunnel TPU)
+    plane_host: Any = None
 
 
 # Empty-box sentinel: any slab test against (lo=+BIG, hi=-BIG) misses.
@@ -567,6 +571,13 @@ def pack_emitter(
 
     put = lambda a: jax.device_put(np.asarray(a), device)
     put_r = lambda a: jax.device_put(np.asarray(a), ray_device)
+    plane_host = np.concatenate(
+        [
+            emitter.plane_origin.astype(np.float32),
+            emitter.plane_normal.astype(np.float32),
+            np.float32([emitter.plane_tol, 1.0 if emitter.plane_is_planar else 0.0]),
+        ]
+    )
     return EmitterPack(
         u_cell=put_r(pad1(u_cell)),
         v_cell=put_r(pad1(v_cell)),
@@ -583,17 +594,10 @@ def pack_emitter(
         tri_v=put(emitter.tri_v),
         tri_n=put(emitter.tri_n),
         tri_eps=put(emitter.tri_origin_eps),
-        plane_vec=put(
-            np.concatenate(
-                [
-                    emitter.plane_origin.astype(np.float32),
-                    emitter.plane_normal.astype(np.float32),
-                    np.float32([emitter.plane_tol, 1.0 if emitter.plane_is_planar else 0.0]),
-                ]
-            )
-        ),
+        plane_vec=put(plane_host),
         n_rays_once=n_rays_once,
         n_rays_pad=n_rays_pad,
+        plane_host=plane_host,
     )
 
 
@@ -608,14 +612,18 @@ class LazyEmitterPack:
     scenes the scheduler targets).
     """
 
-    def __init__(self, factory, *, n_rays_once: int, n_rays_pad: int, plane_vec):
+    def __init__(self, factory, *, n_rays_once: int, n_rays_pad: int,
+                 plane_host):
         self._factory = factory
         self._pack: Optional[EmitterPack] = None
         self.n_rays_once = n_rays_once
         self.n_rays_pad = n_rays_pad
-        self.plane_vec = plane_vec
+        self.plane_host = plane_host
 
     def __getattr__(self, name):
+        # plane_vec (the device copy) falls through here too: the scheduled
+        # driver only reads plane_host, so a purely scheduled solve never
+        # uploads per-emitter plane vectors at all
         if self._pack is None:
             self._pack = self._factory()
         return getattr(self._pack, name)

@@ -303,8 +303,6 @@ class _EmitterRun:
         kernel: str = "xla",
         interpret: bool = False,
     ):
-        import jax
-
         self.scene_pack = scene_pack
         self.em_pack = em_pack
         self.device = device
@@ -313,13 +311,43 @@ class _EmitterRun:
         self.interpret = interpret
         ext = np.zeros(surf_active.shape[0] + 1, dtype=np.int32)
         ext[:-1] = surf_active
-        self.surf_active_ext = jax.device_put(ext, device)
-        self.emit_sid = jax.device_put(np.int32(emit_sid), device)
-        self.min_sid = jax.device_put(np.int32(min_sid), device)
-        self.n_rays_once = jax.device_put(np.int32(em_pack.n_rays_once), device)
+        # Device scalars upload lazily on first per-emitter dispatch: the
+        # scheduled driver passes its own per-round stacks and never touches
+        # them, and 4 eager device_puts x hundreds of emitters is ~0.3 s of
+        # H2D RPCs on a remote-tunnel TPU before any ray is traced.
+        self._host_scalars = (
+            ext, np.int32(emit_sid), np.int32(min_sid),
+            np.int32(em_pack.n_rays_once),
+        )
+        self._dev_scalars = None
         self.seed = seed
         self.idx_emit = idx_emit
         self.itr_next = 0  # absolute iteration index (drives the RNG stream)
+
+    def _scalars(self):
+        if self._dev_scalars is None:
+            import jax
+
+            self._dev_scalars = tuple(
+                jax.device_put(a, self.device) for a in self._host_scalars
+            )
+        return self._dev_scalars
+
+    @property
+    def surf_active_ext(self):
+        return self._scalars()[0]
+
+    @property
+    def emit_sid(self):
+        return self._scalars()[1]
+
+    @property
+    def min_sid(self):
+        return self._scalars()[2]
+
+    @property
+    def n_rays_once(self):
+        return self._scalars()[3]
 
     def run_chunk(self, chunk: int, *, want_matrix: bool, want_any: bool, discrete: bool):
         """Trace ``chunk`` iterations; returns dict of stacked numpy counts."""
@@ -569,31 +597,26 @@ def _make_emitter_pack(prepared_solver, idx_emit, p, flip_faces, align,
     if not lazy:
         return factory()
 
-    import jax
-
     from .prepared import LazyEmitterPack, _pad_rays
 
     emitter = prepared_solver.get_emitter(
         idx_emit, samples=p["samples"], rays=p["rays"], flip_faces=flip_faces
     )
     n_once = emitter.n_cells * p["rays"]
-    plane_vec = jax.device_put(
-        np.concatenate(
-            [
-                emitter.plane_origin.astype(np.float32),
-                emitter.plane_normal.astype(np.float32),
-                np.float32(
-                    [emitter.plane_tol, 1.0 if emitter.plane_is_planar else 0.0]
-                ),
-            ]
-        ),
-        pack_dev,
+    plane_host = np.concatenate(
+        [
+            emitter.plane_origin.astype(np.float32),
+            emitter.plane_normal.astype(np.float32),
+            np.float32(
+                [emitter.plane_tol, 1.0 if emitter.plane_is_planar else 0.0]
+            ),
+        ]
     )
     return LazyEmitterPack(
         factory,
         n_rays_once=n_once,
         n_rays_pad=_pad_rays(n_once, align),
-        plane_vec=plane_vec,
+        plane_host=plane_host,
     )
 
 
@@ -748,8 +771,7 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             emit_b[local_e] = entry["emit_sid"]
             min_b[local_e] = entry["min_sid"]
             once_b[local_e] = entry["run"].em_pack.n_rays_once
-            plane_b[local_e] = np.asarray(entry["run"].em_pack.plane_vec)
-        geom_round = jax.tree.map(lambda g: g[jnp.asarray(sel)], geom_stacked)
+            plane_b[local_e] = entry["run"].em_pack.plane_host
 
         nb = _pow2_at_least(len(rows))
         n_cp = _pow2_at_least(len(cp_list), lo=8)
@@ -759,12 +781,15 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         cp = np.zeros((n_cp, 7), dtype=np.float32)
         cp[: len(cp_list)] = np.stack(cp_list)
 
+        # geometry stays the full device-resident stack; the (tiny) per-round
+        # compaction gather runs inside the jitted program (``sel``) instead
+        # of as 8 separate host-driven device ops per round
         if use_pallas:
             out = scheduled_trace_pallas(
-                scene_t, tables_flat, geom_round, jnp.asarray(cp),
+                scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
                 jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
                 jnp.asarray(once_b), jnp.asarray(plane_b),
-                jnp.asarray(schedule), scene_pack.accel,
+                jnp.asarray(schedule), scene_pack.accel, jnp.asarray(sel),
                 sched_block=RAY_BLOCK,
                 ray_block=pallas_block,
                 tri_tile=PALLAS_TRI_TILE,
@@ -775,10 +800,10 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             )
         else:
             out = scheduled_trace(
-                scene_t, tables_flat, geom_round, jnp.asarray(cp),
+                scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
                 jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
                 jnp.asarray(once_b), jnp.asarray(plane_b),
-                jnp.asarray(schedule), scene_pack.accel,
+                jnp.asarray(schedule), scene_pack.accel, jnp.asarray(sel),
                 ray_block=RAY_BLOCK,
                 tri_tile=scene_pack.tri_tile,
                 want_matrix=want_matrix,
