@@ -639,7 +639,7 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
                      scene_pack, pack_dev, n_meshes: int, *,
                      want_matrix: bool, want_any: bool, discrete: bool,
                      consume, kernel: str = "xla",
-                     interpret: bool = False) -> None:
+                     interpret: bool = False, mesh=None) -> None:
     """Whole-scene scheduled solves: one dispatch per convergence round.
 
     Builds a block schedule spanning every pending emitter's next chunk and
@@ -661,12 +661,22 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
     ``consume(entry, host, start_row, bpi, chunk)`` replays one entry's
     per-iteration aggregates through its monitor(s) and must advance
     ``entry['run'].itr_next`` to the first unconsumed iteration.
+
+    With ``mesh`` the round dispatch runs inside ``shard_map``: schedule
+    blocks are split across the mesh axis (embarrassingly parallel — each
+    block's histogram depends only on its own rays), so many-emitter scenes
+    compose one-dispatch-per-round scheduling WITH multi-chip execution.
+    Results are bitwise-equal to the single-device schedule.
     """
     import jax.numpy as jnp
 
     from .ops.trace import scheduled_trace, scheduled_trace_pallas
 
     import jax
+
+    n_dev = 1 if mesh is None else int(
+        np.prod([mesh.shape[k] for k in mesh.shape])
+    )
 
     use_pallas = kernel == "pallas"
     if use_pallas:
@@ -774,6 +784,8 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             plane_b[local_e] = entry["run"].em_pack.plane_host
 
         nb = _pow2_at_least(len(rows))
+        if nb % n_dev:  # non-power-of-two meshes: round up to a multiple
+            nb = ((nb + n_dev - 1) // n_dev) * n_dev
         n_cp = _pow2_at_least(len(cp_list), lo=8)
         schedule = np.zeros((nb, 4), dtype=np.int32)
         schedule[: len(rows)] = np.asarray(rows, dtype=np.int32)
@@ -784,7 +796,24 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         # geometry stays the full device-resident stack; the (tiny) per-round
         # compaction gather runs inside the jitted program (``sel``) instead
         # of as 8 separate host-driven device ops per round
-        if use_pallas:
+        if mesh is not None:
+            from .parallel.sharding import scheduled_trace_sharded
+
+            out = scheduled_trace_sharded(
+                mesh, scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
+                jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
+                jnp.asarray(once_b), jnp.asarray(plane_b),
+                jnp.asarray(schedule), scene_pack.accel, jnp.asarray(sel),
+                sched_block=RAY_BLOCK,
+                ray_block=pallas_block if use_pallas else RAY_BLOCK,
+                tri_tile=PALLAS_TRI_TILE if use_pallas else scene_pack.tri_tile,
+                want_matrix=want_matrix,
+                want_any=want_any,
+                discrete=discrete,
+                kernel=kernel,
+                interpret=interpret,
+            )
+        elif use_pallas:
             out = scheduled_trace_pallas(
                 scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
                 jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
@@ -824,7 +853,7 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
 def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
                             scene_pack, pack_dev, n_meshes: int, *,
                             kernel: str = "xla",
-                            interpret: bool = False) -> None:
+                            interpret: bool = False, mesh=None) -> None:
     def consume(entry, host, start_row, bpi, chunk):
         mon = entry["monitor"]
         for c in range(chunk):
@@ -840,14 +869,14 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
     _drive_scheduled(
         entries, prepared_solver, p, flip_faces, align, scene_pack, pack_dev,
         n_meshes, want_matrix=True, want_any=False, discrete=False,
-        consume=consume, kernel=kernel, interpret=interpret,
+        consume=consume, kernel=kernel, interpret=interpret, mesh=mesh,
     )
 
 
 def _drive_sky_scheduled(entries, prepared_solver, p, align, scene_pack,
                          pack_dev, n_meshes: int, *, discrete: bool,
                          kernel: str = "xla",
-                         interpret: bool = False) -> None:
+                         interpret: bool = False, mesh=None) -> None:
     def consume(entry, host, start_row, bpi, chunk):
         mon = entry["monitor"]
         for c in range(chunk):
@@ -864,14 +893,14 @@ def _drive_sky_scheduled(entries, prepared_solver, p, align, scene_pack,
     _drive_scheduled(
         entries, prepared_solver, p, False, align, scene_pack, pack_dev,
         n_meshes, want_matrix=False, want_any=True, discrete=discrete,
-        consume=consume, kernel=kernel, interpret=interpret,
+        consume=consume, kernel=kernel, interpret=interpret, mesh=mesh,
     )
 
 
 def _drive_combined_scheduled(entries, prepared_solver, p, align, scene_pack,
                               pack_dev, n_meshes: int, *, discrete: bool,
                               kernel: str = "xla",
-                              interpret: bool = False) -> None:
+                              interpret: bool = False, mesh=None) -> None:
     """Scheduled shared-ray workflow: both outputs computed for every block
     (simple single compiled program); each monitor consumes only while
     pending, exactly the dual-monitor replay of _drive_combined_pipelined."""
@@ -907,7 +936,7 @@ def _drive_combined_scheduled(entries, prepared_solver, p, align, scene_pack,
     _drive_scheduled(
         entries, prepared_solver, p, False, align, scene_pack, pack_dev,
         n_meshes, want_matrix=True, want_any=True, discrete=discrete,
-        consume=consume, kernel=kernel, interpret=interpret,
+        consume=consume, kernel=kernel, interpret=interpret, mesh=mesh,
     )
 
 
@@ -1386,7 +1415,7 @@ def view_factor_matrix(
         emit_sid, min_sid = _matrix_skip(idx_emit, reciprocity)
         em_pack = _make_emitter_pack(
             prepared_solver, idx_emit, p, flip_faces, align, pack_dev, ray_dev,
-            lazy=(mesh is None and use_scheduler),
+            lazy=use_scheduler,
         )
         run = _EmitterRun(
             scene_pack, em_pack, surf_active, emit_sid, min_sid,
@@ -1468,14 +1497,14 @@ def view_factor_matrix(
     # pipelined per-emitter driver for anything left (single emitters,
     # Pallas-swept scenes, device-mesh solves)
     with profiler("matrix_solve"):
-        if mesh is None and len(entries) > 1:
+        if len(entries) > 1:
             if use_scheduler:
                 _drive_matrix_scheduled(
                     entries, prepared_solver, p, flip_faces, align,
                     scene_pack, pack_dev, n_surf,
-                    kernel=kernel, interpret=interpret,
+                    kernel=kernel, interpret=interpret, mesh=mesh,
                 )
-            elif kernel == "xla":
+            elif mesh is None and kernel == "xla":
                 _drive_matrix_grouped(entries)
         _drive_matrix_pipelined(entries)
     solve_s = time.time() - t_solve
@@ -1595,7 +1624,7 @@ def view_factor_to_tregenza_sky(
             )
             em_pack = _make_emitter_pack(
                 prepared_solver, idx_emit, p, False, align, pack_dev, ray_dev,
-                lazy=(mesh is None and use_scheduler),
+                lazy=use_scheduler,
             )
             run = _EmitterRun(
                 scene_pack, em_pack, surf_active, idx_emit, 0,
@@ -1653,13 +1682,14 @@ def view_factor_to_tregenza_sky(
             )
         if entry["monitor"].done:
             _entry_done(entry)
-    if mesh is None and len(entries) > 1:
+    if len(entries) > 1:
         if use_scheduler:
             _drive_sky_scheduled(
                 entries, prepared_solver, p, align, scene_pack, pack_dev,
                 n_surf, discrete=discrete, kernel=kernel, interpret=interpret,
+                mesh=mesh,
             )
-        elif kernel == "xla":
+        elif mesh is None and kernel == "xla":
             _drive_sky_grouped(entries, discrete=discrete)
     _drive_sky_pipelined(entries, discrete=discrete)
     solve_s = time.time() - t_solve
@@ -1787,7 +1817,7 @@ def view_factor_matrix_and_sky(
         emit_sid, matrix_min_sid = _matrix_skip(idx_emit, reciprocity)
         em_pack = _make_emitter_pack(
             prepared_solver, idx_emit, mp, False, align, pack_dev, ray_dev,
-            lazy=(mesh is None and use_scheduler),
+            lazy=use_scheduler,
         )
         run = _EmitterRun(
             scene_pack, em_pack, surf_active, emit_sid, matrix_min_sid,
@@ -1892,10 +1922,11 @@ def view_factor_matrix_and_sky(
         m, s = entry["matrix_mon"], entry["sky_mon"]
         if (m is None or m.done) and s.done:
             _entry_done(entry)
-    if mesh is None and len(entries) > 1 and use_scheduler:
+    if len(entries) > 1 and use_scheduler:
         _drive_combined_scheduled(
             entries, prepared_solver, mp, align, scene_pack, pack_dev,
             n_surf, discrete=discrete, kernel=kernel, interpret=interpret,
+            mesh=mesh,
         )
     _drive_combined_pipelined(entries, discrete=discrete)
     solve_s = time.time() - t_solve

@@ -125,3 +125,47 @@ def test_sharded_outside_workflow_equals_single():
     for name, _, _ in MESHES:
         total = sum(scene.get(name, {}).values()) + sum(sky.get(name, {}).values()) + rest[name]["Rest"]
         assert abs(total - 1.0) < 1e-9
+
+
+def test_sharded_scheduled_matrix_equals_single(monkeypatch):
+    """Scheduled driver under a device mesh: one dispatch per convergence
+    round, schedule blocks split over the mesh axis — must reproduce the
+    single-device (grouped/pipelined) result bitwise, both sweep kernels."""
+    from raystrack_tpu import config
+
+    params = MatrixParams(
+        samples=8, rays=64, seed=4, device="cpu", bvh="off",
+        max_iters=6, min_iters=3, tol=1e-3, reciprocity=True,
+    )
+    base = view_factor_matrix(MESHES, params=params)
+    monkeypatch.setattr(config, "SCHEDULER", "scheduled")
+    for kern in ("xla", "pallas"):
+        monkeypatch.setattr(config, "KERNEL", kern)
+        sharded = view_factor_matrix(MESHES, params=params, mesh=ray_mesh())
+        assert sharded == base, f"scheduled+mesh diverged (kernel={kern})"
+
+
+def test_sharded_scheduled_sky_and_workflow_equal_single(monkeypatch):
+    from raystrack_tpu import config, view_factor_to_tregenza_sky
+
+    sp = SkyParams(
+        samples=8, rays=64, seed=4, device="cpu", bvh="off",
+        max_iters=5, min_iters=2, tol=1e-3, discrete=True,
+    )
+    sky_base = view_factor_to_tregenza_sky(MESHES, params=sp)
+    mp = MatrixParams(
+        samples=8, rays=64, seed=4, device="cpu", bvh="off",
+        max_iters=5, min_iters=2, tol=5e-3,
+    )
+    sp2 = SkyParams(
+        samples=8, rays=64, seed=4, device="cpu", bvh="off",
+        max_iters=5, min_iters=2, tol=5e-3,
+    )
+    wf_base = view_factor_outside_workflow(MESHES, matrix_params=mp, sky_params=sp2)
+    monkeypatch.setattr(config, "SCHEDULER", "scheduled")
+    assert view_factor_to_tregenza_sky(
+        MESHES, params=sp, mesh=ray_mesh()
+    ) == sky_base
+    assert view_factor_outside_workflow(
+        MESHES, matrix_params=mp, sky_params=sp2, mesh=ray_mesh()
+    ) == wf_base
