@@ -128,13 +128,20 @@ SCHED_MAX_FLAT_RAYS = _env_int("RAYSTRACK_TPU_SCHED_MAX_FLAT_RAYS", 67_108_864)
 # O(1) per ray.
 RAYGEN_ONEHOT_MAX_FACES = _env_int("RAYSTRACK_TPU_RAYGEN_ONEHOT_MAX_FACES", 128)
 
-# Distance-gate capacity: tile counts above this fall back to the ungated
-# sweep (the gate's AABB/order tables live in scalar memory; 2048 tiles =
-# ~128 KB of SMEM tables, measured fine on v5e — 4M gated triangles at the
-# default tile width). Tile widths BELOW the default measure slower at 1M
-# tris despite finer pruning: the per-tile DMA is unconditional, so more
-# tiles means more loop/gate overhead for the same streamed bytes.
+# Distance-gate SMEM capacity, in gate BOXES (the AABB/order tables live in
+# scalar memory; 2048 boxes = ~128 KB of SMEM tables, measured fine on
+# v5e). Scenes whose tile count exceeds this are gated at GROUP granularity
+# instead of falling back to the ungated sweep: each gate box covers
+# ceil(n_tiles / GATE_MAX_TILES) consecutive Morton-ordered tiles, the
+# visit order runs over groups, and member tiles still stream/compute
+# conditionally — so exact pruning extends to arbitrarily large scenes at
+# progressively coarser granularity (group size capped by GATE_MAX_GROUP).
 GATE_MAX_TILES = _env_int("RAYSTRACK_TPU_GATE_MAX_TILES", 2048)
+
+# Largest tiles-per-box group the coarse gate accepts before giving up
+# (64 x 2048 tiles x 2048 tris = 268M triangles at default widths; beyond
+# that a single box spans so much geometry that slab tests cannot prune).
+GATE_MAX_GROUP = _env_int("RAYSTRACK_TPU_GATE_MAX_GROUP", 64)
 
 __all__ = [
     "RAY_BLOCK",

@@ -61,16 +61,17 @@ def sweep_tile_width(n_tri_pad: int, tri_tile: int) -> int:
 def gate_prunes(accel, n_tri_pad: int, tri_tile: int) -> bool:
     """Whether the in-kernel distance gate can skip any pair math for this
     scene shape: it needs the AABB tables (``accel``), more than one tile
-    (with a single tile there is nothing to prune past), and a tile count
-    within the SMEM table budget. Callers use this to decide whether the
+    (with a single tile there is nothing to prune past), and a per-box
+    group size within GATE_MAX_GROUP (past the SMEM budget the gate goes
+    two-level rather than off). Callers use this to decide whether the
     per-iteration coherence sort — whose only purpose is making the gate
     fire — is worth running."""
-    from ..config import GATE_MAX_TILES
+    from ..config import GATE_MAX_GROUP
 
     if accel is None:
         return False
     n_tiles = n_tri_pad // sweep_tile_width(n_tri_pad, tri_tile)
-    return 1 < n_tiles <= GATE_MAX_TILES
+    return n_tiles > 1 and gate_group_size(n_tiles) <= GATE_MAX_GROUP
 
 
 def build_tri_pack(scene: Tuple, m_any, m_mat, *, bake=None) -> jnp.ndarray:
@@ -256,15 +257,43 @@ def _gate_needed(rays, inv, aabb_ref, i, carry, *, want_matrix, want_any):
     )
 
 
+def _gate_indexers(order_ref, order_row, use_gate: bool, gate_group: int):
+    """(tile index, gate-box index) getters for loop step j.
+
+    With ``gate_group == 1`` boxes ARE tiles (the classic fine gate); with
+    bigger groups each SMEM box covers ``gate_group`` consecutive
+    Morton-ordered tiles and the visit order enumerates boxes, members
+    consecutively — the two-level gate for scenes past the SMEM budget.
+    """
+    if not use_gate:
+        return (lambda j: j), (lambda j: j)
+    if gate_group == 1:
+        box = lambda j: order_ref[order_row, j]
+        return box, box
+    box = lambda j: order_ref[order_row, j // gate_group]
+    tile = lambda j: box(j) * gate_group + j % gate_group
+    return tile, box
+
+
+def _gate_loop_bound(n_tiles: int, use_gate: bool, gate_group: int) -> int:
+    """Gated loops run over whole groups; callers pad tiles_on to match so
+    the trailing phantom tiles are inactive (never DMA'd or computed)."""
+    if not use_gate or gate_group == 1:
+        return n_tiles
+    return -(-n_tiles // gate_group) * gate_group
+
+
 def _sweep_kernel(
     rays_ref, tris_ref, tiles_on_ref, aabb_ref, order_ref, code_ref, any_ref,
     *, tri_tile: int, want_matrix: bool, want_any: bool, use_gate: bool,
-    masks_baked: bool = False
+    masks_baked: bool = False, gate_group: int = 1
 ):
     n_tiles = tris_ref.shape[1] // tri_tile
+    n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
     rays = _ray_columns(rays_ref)
     inv = _ray_inv(rays) if use_gate else None
     order_row = pl.program_id(0) % 8  # order blocks are 8 grid rows tall
+    src_tile, src_box = _gate_indexers(order_ref, order_row, use_gate, gate_group)
     # baked packs: the *primary* mask (m_any when any-hits are wanted, else
     # m_mat) is folded into zeroed cross_e rows; the secondary m_mat row
     # test survives only when both output types are wanted and differ
@@ -281,17 +310,17 @@ def _sweep_kernel(
     def guarded_body(j, carry):
         # whole-tile skip: mask-culled tiles (Morton clustering makes culled
         # regions contiguous) and, with the gate, tiles no ray can improve
-        i = order_ref[order_row, j] if use_gate else j
+        i = src_tile(j)
         needed = tiles_on_ref[0, i] > 0
         if use_gate:
             needed = needed & _gate_needed(
-                rays, inv, aabb_ref, i, carry,
+                rays, inv, aabb_ref, src_box(j), carry,
                 want_matrix=want_matrix, want_any=want_any,
             )
         return jax.lax.cond(needed, lambda c: tile_math(i, c), lambda c: c, carry)
 
     best_t, best_code, any_hit = jax.lax.fori_loop(
-        0, n_tiles, guarded_body, _sweep_init(rays[3])
+        0, n_loop, guarded_body, _sweep_init(rays[3])
     )
     code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
     any_ref[:, :] = any_hit
@@ -300,7 +329,7 @@ def _sweep_kernel(
 def _sweep_kernel_streamed(
     rays_ref, tris_hbm, tiles_on_ref, aabb_ref, order_ref, code_ref, any_ref,
     *, tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool,
-    use_gate: bool, masks_baked: bool = False
+    use_gate: bool, masks_baked: bool = False, gate_group: int = 1
 ):
     """HBM-streaming variant: the operand pack stays in HBM and tile slices
     are double-buffered into VMEM scratch, so scene size is unbounded.
@@ -319,13 +348,12 @@ def _sweep_kernel_streamed(
     rays = _ray_columns(rays_ref)
     inv = _ray_inv(rays) if use_gate else None
     order_row = pl.program_id(0) % 8  # order blocks are 8 grid rows tall
+    src_tile, src_box = _gate_indexers(order_ref, order_row, use_gate, gate_group)
+    n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
     m_any_row = "baked" if masks_baked else None
     m_mat_row = "baked" if (masks_baked and not want_any) else None
 
     def body(buf_ref, sem_ref):
-        def src_tile(j):
-            return order_ref[order_row, j] if use_gate else j
-
         def tile_dma(slot, j):
             return pltpu.make_async_copy(
                 tris_hbm.at[:, pl.ds(src_tile(j) * tri_tile, tri_tile)],
@@ -355,9 +383,8 @@ def _sweep_kernel_streamed(
             )
         else:
             def need(j, carry):
-                i = src_tile(j)
-                return (tiles_on_ref[0, i] > 0) & _gate_needed(
-                    rays, inv, aabb_ref, i, carry,
+                return (tiles_on_ref[0, src_tile(j)] > 0) & _gate_needed(
+                    rays, inv, aabb_ref, src_box(j), carry,
                     want_matrix=want_matrix, want_any=want_any,
                 )
 
@@ -378,10 +405,10 @@ def _sweep_kernel_streamed(
                 # exact; true now may turn false by math time (a wasted
                 # copy, never a missed one). The lookahead index is clamped:
                 # the predicate short-circuits logically but its operands
-                # still evaluate, and order/aabb reads at n_tiles would be
+                # still evaluate, and order/aabb reads at n_loop would be
                 # out of bounds on the last iteration.
-                j_next = jnp.minimum(j + 1, n_tiles - 1)
-                start_next = (j + 1 < n_tiles) & need(j_next, carry)
+                j_next = jnp.minimum(j + 1, n_loop - 1)
+                start_next = (j + 1 < n_loop) & need(j_next, carry)
 
                 @pl.when(start_next)
                 def _():
@@ -408,7 +435,7 @@ def _sweep_kernel_streamed(
                 return (*new_carry, start_next.astype(jnp.int32))
 
             state = jax.lax.fori_loop(
-                0, n_tiles, tile_body, (*init, started0.astype(jnp.int32))
+                0, n_loop, tile_body, (*init, started0.astype(jnp.int32))
             )
             carry = state[:3]
 
@@ -423,24 +450,54 @@ def _sweep_kernel_streamed(
     )
 
 
+def gate_group_size(n_tiles: int) -> int:
+    """Tiles per gate box: 1 while the per-tile tables fit SMEM, then the
+    smallest group count that brings the box count back under the budget."""
+    from ..config import GATE_MAX_TILES
+
+    return -(-n_tiles // GATE_MAX_TILES)
+
+
 def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
                  tile: int):
-    """(aabb SMEM table, per-block near-to-far visit order) for the gate.
+    """(aabb SMEM table, per-block near-to-far visit order, group) for the
+    gate.
 
     ``accel`` is the ACCEL_GRAIN-granularity (tile_lo, tile_hi) pair from
-    prepared.pack_scene; boxes reduce to the sweep tile width. Visit order
-    sorts tiles by squared distance from each ray block's mean origin so
-    best_t shrinks early and far tiles get pruned. ``order`` comes back
-    padded to 8-row blocks (Mosaic sublane-divisibility).
+    prepared.pack_scene; boxes reduce to the sweep tile width, then — for
+    scenes whose tile count exceeds the SMEM budget — to GROUPS of
+    ``group`` consecutive Morton-ordered tiles (the two-level gate: the
+    SMEM tables stay bounded while exact pruning extends to arbitrarily
+    large scenes, the flat analogue of pruning a whole BVH subtree,
+    reference: cpu_trace.py:243-250). Visit order sorts boxes by squared
+    distance from each ray block's mean origin so best_t shrinks early and
+    far boxes get pruned. ``order`` comes back padded to 8-row blocks
+    (Mosaic sublane-divisibility).
     """
     from ..config import ACCEL_GRAIN
 
     per = tile // ACCEL_GRAIN
     lo = jnp.min(accel[0].reshape(n_tiles, per, 3), axis=1)
     hi = jnp.max(accel[1].reshape(n_tiles, per, 3), axis=1)
-    # (8, n_tiles) row-per-field: [lo_x..lo_z, hi_x..hi_z, pad, pad]
+    group = gate_group_size(n_tiles)
+    n_boxes = -(-n_tiles // group)
+    if group > 1:
+        # empty-box padding (lo=+BIG, hi=-BIG) never widens a group box
+        pad = n_boxes * group - n_tiles
+        big = jnp.float32(3.0e37)
+        lo = jnp.min(
+            jnp.pad(lo, ((0, pad), (0, 0)), constant_values=big)
+            .reshape(n_boxes, group, 3),
+            axis=1,
+        )
+        hi = jnp.max(
+            jnp.pad(hi, ((0, pad), (0, 0)), constant_values=-big)
+            .reshape(n_boxes, group, 3),
+            axis=1,
+        )
+    # (8, n_boxes) row-per-field: [lo_x..lo_z, hi_x..hi_z, pad, pad]
     aabb = jnp.concatenate(
-        [lo.T, hi.T, jnp.zeros((2, n_tiles), jnp.float32)], axis=0
+        [lo.T, hi.T, jnp.zeros((2, n_boxes), jnp.float32)], axis=0
     )
     cent = jnp.mean(rays[:, :3].reshape(n_blocks, ray_block, 3), axis=1)
     gap = jnp.maximum(
@@ -450,14 +507,14 @@ def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
     )
     order = jnp.argsort(jnp.sum(gap * gap, axis=2), axis=1).astype(jnp.int32)
     n_blocks_pad = ((n_blocks + 7) // 8) * 8
-    return aabb, jnp.pad(order, ((0, n_blocks_pad - n_blocks), (0, 0)))
+    return aabb, jnp.pad(order, ((0, n_blocks_pad - n_blocks), (0, 0))), group
 
 
 def _sweep_kernel_sched(
     rays_ref, tris_ref, emap_ref, masks_hbm, tiles_on_ref, aabb_ref,
     order_ref, code_ref, any_ref,
     *, tri_tile: int, want_matrix: bool, want_any: bool, use_gate: bool,
-    per_emitter_tiles: bool,
+    per_emitter_tiles: bool, gate_group: int = 1,
 ):
     """Scheduled (multi-emitter) resident sweep: one dispatch spans blocks of
     DIFFERENT emitters. ``emap_ref`` (SMEM) maps each grid block to its
@@ -467,10 +524,12 @@ def _sweep_kernel_sched(
     carries are identical to _sweep_kernel."""
     n_tri_pad = tris_ref.shape[1]
     n_tiles = n_tri_pad // tri_tile
+    n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
     rays = _ray_columns(rays_ref)
     inv = _ray_inv(rays) if use_gate else None
     pid = pl.program_id(0)
     order_row = pid % 8  # order blocks are 8 grid rows tall
+    src_tile, src_box = _gate_indexers(order_ref, order_row, use_gate, gate_group)
     e = emap_ref[0, pid]
     e_tiles = e if per_emitter_tiles else 0
 
@@ -490,11 +549,11 @@ def _sweep_kernel_sched(
             )
 
         def guarded_body(j, carry):
-            i = order_ref[order_row, j] if use_gate else j
+            i = src_tile(j)
             needed = tiles_on_ref[e_tiles, i] > 0
             if use_gate:
                 needed = needed & _gate_needed(
-                    rays, inv, aabb_ref, i, carry,
+                    rays, inv, aabb_ref, src_box(j), carry,
                     want_matrix=want_matrix, want_any=want_any,
                 )
             return jax.lax.cond(
@@ -502,7 +561,7 @@ def _sweep_kernel_sched(
             )
 
         best_t, best_code, any_hit = jax.lax.fori_loop(
-            0, n_tiles, guarded_body, _sweep_init(rays[3])
+            0, n_loop, guarded_body, _sweep_init(rays[3])
         )
         code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
         any_ref[:, :] = any_hit
@@ -518,7 +577,7 @@ def _sweep_kernel_sched_streamed(
     rays_ref, tris_hbm, emap_ref, masks_hbm, tiles_on_ref, aabb_ref,
     order_ref, code_ref, any_ref,
     *, tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool,
-    use_gate: bool, per_emitter_tiles: bool,
+    use_gate: bool, per_emitter_tiles: bool, gate_group: int = 1,
 ):
     """HBM-streaming scheduled sweep: operand pack AND the (E, Tpad) combined
     mask table stay in HBM; the block's emitter mask tile is double-buffered
@@ -531,13 +590,12 @@ def _sweep_kernel_sched_streamed(
     inv = _ray_inv(rays) if use_gate else None
     pid = pl.program_id(0)
     order_row = pid % 8
+    src_tile, src_box = _gate_indexers(order_ref, order_row, use_gate, gate_group)
+    n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
     e = emap_ref[0, pid]
     e_tiles = e if per_emitter_tiles else 0
 
     def body(buf_ref, mbuf_ref, sem_ref, msem_ref):
-        def src_tile(j):
-            return order_ref[order_row, j] if use_gate else j
-
         def tile_dma(slot, j):
             i = src_tile(j)
             return pltpu.make_async_copy(
@@ -585,9 +643,8 @@ def _sweep_kernel_sched_streamed(
             )
         else:
             def need(j, carry):
-                i = src_tile(j)
-                return (tiles_on_ref[e_tiles, i] > 0) & _gate_needed(
-                    rays, inv, aabb_ref, i, carry,
+                return (tiles_on_ref[e_tiles, src_tile(j)] > 0) & _gate_needed(
+                    rays, inv, aabb_ref, src_box(j), carry,
                     want_matrix=want_matrix, want_any=want_any,
                 )
 
@@ -603,9 +660,9 @@ def _sweep_kernel_sched_streamed(
                 started = state[3] > 0
                 slot = j % 2
                 # clamped lookahead: operands evaluate even under a false
-                # guard, and index n_tiles would read out of bounds
-                j_next = jnp.minimum(j + 1, n_tiles - 1)
-                start_next = (j + 1 < n_tiles) & need(j_next, carry)
+                # guard, and index n_loop would read out of bounds
+                j_next = jnp.minimum(j + 1, n_loop - 1)
+                start_next = (j + 1 < n_loop) & need(j_next, carry)
 
                 @pl.when(start_next)
                 def _():
@@ -622,7 +679,7 @@ def _sweep_kernel_sched_streamed(
                 return (*new_carry, start_next.astype(jnp.int32))
 
             state = jax.lax.fori_loop(
-                0, n_tiles, tile_body, (*init, started0.astype(jnp.int32))
+                0, n_loop, tile_body, (*init, started0.astype(jnp.int32))
             )
             carry = state[:3]
 
@@ -683,11 +740,17 @@ def sweep_rays_scheduled(
         relevant.reshape(relevant.shape[0], n_tiles, tile) > thresh, axis=2
     ).astype(jnp.int32)
 
-    from ..config import GATE_MAX_TILES
+    from ..config import GATE_MAX_GROUP
 
-    use_gate = accel is not None and n_tiles <= GATE_MAX_TILES
+    use_gate = accel is not None and gate_group_size(n_tiles) <= GATE_MAX_GROUP
+    gate_group = 1
     if use_gate:
-        aabb, order = _gate_tables(accel, rays, n_blocks, ray_block, n_tiles, tile)
+        aabb, order, gate_group = _gate_tables(
+            accel, rays, n_blocks, ray_block, n_tiles, tile
+        )
+        n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
+        if n_loop > n_tiles:  # phantom group-padding tiles: never active
+            tiles_on = jnp.pad(tiles_on, ((0, 0), (0, n_loop - n_tiles)))
     else:
         aabb = jnp.zeros((8, 128), jnp.float32)
         order = jnp.zeros((8, 128), jnp.int32)
@@ -698,6 +761,7 @@ def sweep_rays_scheduled(
         want_any=want_any,
         use_gate=use_gate,
         per_emitter_tiles=per_emitter_tiles,
+        gate_group=gate_group,
     )
     if stream_from_hbm:
         kernel = functools.partial(
@@ -800,14 +864,21 @@ def sweep_rays(
     if stream_from_hbm is None:
         stream_from_hbm = n_tri_pad > PALLAS_MAX_TRIS
 
-    # The gate's AABB/order tables live in SMEM (~1 MB budget, scalar words
-    # are padded); past ~1024 tiles they would not fit, so very large tile
-    # counts fall back to the ungated sweep.
-    from ..config import GATE_MAX_TILES
+    # The gate's AABB/order tables live in SMEM; past GATE_MAX_TILES boxes
+    # the gate goes two-level (one box per GROUP of consecutive tiles), so
+    # exact pruning survives to arbitrarily large scenes. Only absurd group
+    # sizes (> GATE_MAX_GROUP) fall back to the ungated sweep.
+    from ..config import GATE_MAX_GROUP
 
-    use_gate = accel is not None and n_tiles <= GATE_MAX_TILES
+    use_gate = accel is not None and gate_group_size(n_tiles) <= GATE_MAX_GROUP
+    gate_group = 1
     if use_gate:
-        aabb, order = _gate_tables(accel, rays, n_blocks, ray_block, n_tiles, tile)
+        aabb, order, gate_group = _gate_tables(
+            accel, rays, n_blocks, ray_block, n_tiles, tile
+        )
+        n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
+        if n_loop > n_tiles:  # phantom group-padding tiles: never active
+            tiles_on = jnp.pad(tiles_on, (0, n_loop - n_tiles))
     else:
         # Ungated sweeps have no per-block gate granularity to protect, and
         # wider ray blocks amortize loop overhead (measured +4% at the
@@ -832,6 +903,7 @@ def sweep_rays(
             want_any=want_any,
             use_gate=use_gate,
             masks_baked=masks_baked,
+            gate_group=gate_group,
         )
         tris_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
@@ -842,6 +914,7 @@ def sweep_rays(
             want_any=want_any,
             use_gate=use_gate,
             masks_baked=masks_baked,
+            gate_group=gate_group,
         )
         tris_spec = pl.BlockSpec(
             (TRI_ROWS, n_tri_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -856,7 +929,7 @@ def sweep_rays(
                 (ray_block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             tris_spec,
-            smem((1, n_tiles)),
+            smem((1, int(tiles_on.shape[0]))),
             smem(aabb.shape),
             # per-block visit order: 8-row-tall blocks (Mosaic requires
             # sublane-dim block sizes divisible by 8); the kernel picks its

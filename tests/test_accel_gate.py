@@ -248,3 +248,39 @@ def test_sort_rays_preserves_multiset():
             [np.asarray(so)[itr, i], np.asarray(sd)[itr, i],
              [np.asarray(sv)[itr, i]]])) for i in range(256)}
         assert rows == srows
+
+
+def test_gate_two_level_groups_bitwise(monkeypatch):
+    """Past the SMEM box budget the gate groups consecutive Morton-ordered
+    tiles under one coarse box (two-level gate). Results must stay bitwise
+    equal to the ungated sweep for both the resident and the HBM-streamed
+    kernel — including the phantom group-padding tiles (3 tiles under a
+    2-tile budget -> 2 boxes of 2, loop bound 4)."""
+    from raystrack_tpu import config
+
+    meshes = _cluttered_scene(seed=13)
+    base_r = _pallas_sweep(meshes, False, False)
+    base_s = _pallas_sweep(meshes, False, True)
+    monkeypatch.setattr(config, "GATE_MAX_TILES", 2)
+    gated_r = _pallas_sweep(meshes, True, False)
+    gated_s = _pallas_sweep(meshes, True, True)
+    for base, gated in ((base_r, gated_r), (base_s, gated_s)):
+        np.testing.assert_array_equal(base[0], gated[0])
+        np.testing.assert_array_equal(base[1], gated[1])
+    assert (base_r[0] >= 0).sum() > 0
+
+
+def test_gate_two_level_end_to_end(monkeypatch):
+    """Full solve with the two-level gate (tiny box budget): accel on must
+    equal accel off exactly through the public API."""
+    from raystrack_tpu import config
+
+    meshes = _cluttered_scene(n_tri=1100, seed=14)
+    params_off = MatrixParams(samples=2, rays=32, seed=4, device="cpu",
+                              bvh="off", max_iters=3, min_iters=2, tol=1e-3)
+    params_on = MatrixParams(samples=2, rays=32, seed=4, device="cpu",
+                             bvh="builtin", max_iters=3, min_iters=2, tol=1e-3)
+    base = view_factor_matrix(meshes, params=params_off)
+    monkeypatch.setattr(config, "GATE_MAX_TILES", 1)
+    monkeypatch.setattr(config, "KERNEL", "pallas")
+    assert view_factor_matrix(meshes, params=params_on) == base
