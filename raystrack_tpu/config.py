@@ -115,6 +115,15 @@ JAX_CACHE_DIR = os.environ.get(
 # 0 = snapshot after every chunk; negative disables snapshots.
 CHECKPOINT_PROGRESS_S = _env_float("RAYSTRACK_TPU_CHECKPOINT_PROGRESS_S", 60.0)
 
+# Grouped-driver break-even: the batched vmap dispatch keeps tracing every
+# lane, so converged members waste work; the group drops to the per-emitter
+# pipelined driver when the active fraction falls below this. Measured on
+# the CPU backend (the only platform the grouped driver runs on): a K=8
+# batched dispatch costs ~7.4x one single-emitter dispatch at both
+# compute-heavy and tiny-emitter shapes (74/76 ms vs 9.9/10.5 ms each), so
+# batching is ahead only while EVERY lane is live — break-even ~0.92.
+GROUPED_MIN_ACTIVE = _env_float("RAYSTRACK_TPU_GROUPED_MIN_ACTIVE", 1.0)
+
 # Scheduled-driver flat-table budget: the whole-scene scheduler keeps 7 f32
 # per-ray tables spanning every emitter's padded ray count on device; past
 # this many total rays it declines and the per-emitter drivers run instead

@@ -308,9 +308,11 @@ def _sweep_tiles(
         # b - a >= 0; min >= 0 iff all >= 0; NaNs fail either way), fewer
         # (B, T) ops. The t_hit test has no equivalent subtraction form and
         # stays a separate compare.
+        # 4-term tree: the (un <= abs_det) compare is bitwise-redundant,
+        # see trace_pallas._tile_step
         margin = jnp.minimum(
-            jnp.minimum(jnp.minimum(abs_det - 1e-7, un), vn),
-            jnp.minimum(abs_det - un, abs_det - (un + vn)),
+            jnp.minimum(abs_det - 1e-7, un),
+            jnp.minimum(vn, abs_det - (un + vn)),
         )
         valid = (margin >= 0.0) & (t_hit > 1e-6) & ray_valid[:, None]
 

@@ -166,9 +166,14 @@ def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool,
     # chained compares it replaces, measurably faster (fewer (B, T) ops).
     # The t_hit test stays separate: t_num/det > 1e-6 has no subtraction
     # form with identical rounding.
+    # The reference's fifth compare (un <= abs_det) is redundant — with
+    # vn >= 0 and fl(un+vn) <= abs_det, IEEE round-to-nearest gives
+    # un <= fl(un+vn) <= abs_det (rounding a value >= un, with un
+    # representable, cannot land below un) — so the 4-term tree decides
+    # identically, one sub and one min cheaper per (B, T) tile.
     margin = jnp.minimum(
-        jnp.minimum(jnp.minimum(abs_det - 1e-7, un), vn),
-        jnp.minimum(abs_det - un, abs_det - (un + vn)),
+        jnp.minimum(abs_det - 1e-7, un),
+        jnp.minimum(vn, abs_det - (un + vn)),
     )
     valid = (margin >= 0.0) & (t_hit > 1e-6)
 

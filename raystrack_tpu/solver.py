@@ -511,10 +511,16 @@ def _drive_grouped(entries, *, want_matrix: bool, want_any: bool,
             monitors = [m["monitor"] for m in members]
             active = [mon for mon in monitors if not mon.done]
             # The batch shape is fixed, so converged members' lanes trace
-            # wasted rays. Batched dispatches stay cheaper than per-emitter
-            # ones until fewer than half the group is still active; then the
-            # pipelined driver takes the stragglers.
-            if len(active) <= len(members) // 2:
+            # wasted rays. Measured break-even (see config.GROUPED_MIN_ACTIVE):
+            # on the CPU backend a K-lane batched dispatch costs ~0.92*K
+            # single dispatches, so batching only stays ahead while every
+            # lane is live; the pipelined driver takes stragglers from the
+            # first convergence on.
+            from .config import GROUPED_MIN_ACTIVE
+
+            if len(active) < max(
+                1, int(np.ceil(len(members) * GROUPED_MIN_ACTIVE))
+            ):
                 break
             chunk = max(
                 plan_chunk(
