@@ -249,3 +249,32 @@ def test_gate_cap_fallback_ungated(monkeypatch):
     monkeypatch.setattr(config, "KERNEL", "pallas")
     monkeypatch.setattr(config, "GATE_MAX_TILES", 1)
     assert view_factor_matrix(meshes, params=params) == base
+
+
+def test_scheduled_raygen_dense_equals_gather(monkeypatch):
+    """The dense small-F raygen (compare-sum CDF pick + one-hot matmul
+    gather at Precision.HIGHEST) must be bitwise-identical to the scalar
+    gather path it replaces — forced by flipping RAYGEN_ONEHOT_MAX_FACES
+    around the scene's face count on two distinct scene shapes (distinct
+    shapes -> distinct jit cache entries, so the flag is honored)."""
+    from raystrack_tpu import config
+
+    ps = PreparedSolver(_cloud_scene(710, seed=21))
+    monkeypatch.setattr(config, "RAYGEN_ONEHOT_MAX_FACES", 4096)
+    dense = _both(ps, [0, 1], seed=5)[1]
+    ps2 = PreparedSolver(_cloud_scene(710, seed=21))
+    monkeypatch.setattr(config, "RAYGEN_ONEHOT_MAX_FACES", 0)
+    import jax
+    jax.clear_caches()  # same shapes on purpose: force a re-trace
+    gather = _both(ps2, [0, 1], seed=5)[1]
+    _assert_equal(dense, gather)
+
+
+def test_scheduled_two_level_gate_bitwise(monkeypatch):
+    """Scheduled kernels under a tiny gate-box budget (grouped boxes +
+    phantom loop padding) must match the ungated XLA scheduled trace."""
+    from raystrack_tpu import config
+
+    monkeypatch.setattr(config, "GATE_MAX_TILES", 2)
+    ps = PreparedSolver(_cloud_scene(730, seed=22))
+    _assert_equal(*_both(ps, [0, 1], seed=9, tri_tile=256))
