@@ -135,24 +135,30 @@ def _headline():
 
 
 def _city_curve():
-    """rays/s on occluded scenes, acceleration vs brute force."""
+    """rays/s on occluded scenes, acceleration vs brute force.
+
+    The 10M point (two-level gate territory: 4883 tiles -> grouped boxes)
+    runs a lighter ray load so its brute-force anchor stays affordable.
+    """
     points = {}
-    for n_tri in (10_000, 100_000, 1_000_000):
+    for n_tri in (10_000, 100_000, 1_000_000, 10_000_000):
+        big = n_tri >= 10_000_000
+        chunk, rays, reps = (1, 1, 2) if big else (2, 2, 3)
         entry = {}
         hits = {}
         ps = PreparedSolver(_city(n_tri))
         for accel in (False, True):
             run = lambda seed: _run_chunk(ps, accel=accel, seed=seed,
-                                          chunk=2, samples=1, rays=2)
+                                          chunk=chunk, samples=1, rays=rays)
             out, em, _ = run(0)
             hits[accel] = _force(out)  # warmup + hit checksum
             times = []
-            for rep in range(3):
+            for rep in range(reps):
                 t0 = time.perf_counter()
                 _force(run(rep + 1)[0])
                 times.append(time.perf_counter() - t0)
             entry["accel" if accel else "brute"] = round(
-                2 * em.n_rays_pad / min(times)
+                chunk * em.n_rays_pad / min(times)
             )
         assert hits[False] == hits[True], "acceleration changed hit counts!"
         entry["speedup"] = round(entry["accel"] / entry["brute"], 2)
