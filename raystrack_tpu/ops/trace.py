@@ -535,6 +535,7 @@ def chunk_body(
     jax.jit,
     static_argnames=(
         "ray_block", "tri_tile", "want_matrix", "want_any", "discrete",
+        "pack_out",
     ),
 )
 def scheduled_trace(
@@ -556,6 +557,7 @@ def scheduled_trace(
     want_matrix: bool,
     want_any: bool,
     discrete: bool,
+    pack_out: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Trace an arbitrary block schedule spanning many emitters/iterations.
 
@@ -628,14 +630,15 @@ def scheduled_trace(
             tile_order=order_all[e] if order_all is not None else None,
         )
 
-    return jax.lax.map(run_block, schedule)
+    out = jax.lax.map(run_block, schedule)
+    return pack_outputs(out) if pack_out else out
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "sched_block", "ray_block", "tri_tile", "want_matrix", "want_any",
-        "discrete", "interpret",
+        "discrete", "interpret", "pack_out",
     ),
 )
 def scheduled_trace_pallas(
@@ -659,6 +662,7 @@ def scheduled_trace_pallas(
     want_any: bool,
     discrete: bool,
     interpret: bool = False,
+    pack_out: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Pallas variant of :func:`scheduled_trace`: one dispatch per convergence
     round AND the fused AABB-gated sweep kernel.
@@ -849,7 +853,39 @@ def scheduled_trace_pallas(
             ).T
         else:
             out["upward"] = jnp.sum(miss & (dz > 0.0), axis=1, dtype=jnp.int32)
-    return out
+    return pack_outputs(out) if pack_out else out
+
+
+def pack_outputs(out: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Flatten a scheduled-trace output dict (all i32) into ONE vector in
+    sorted-key order. Every device->host read on a remote-tunnel TPU is a
+    blocking RPC (~35-100 ms); fetching one packed array instead of one per
+    output halves the per-round host round-trips. unpack_outputs inverts."""
+    return jnp.concatenate([out[k].reshape(-1) for k in sorted(out)])
+
+
+def unpack_outputs(flat, nb: int, n_surf: int, *, want_matrix: bool,
+                   want_any: bool, discrete: bool) -> Dict:
+    """Host-side inverse of :func:`pack_outputs` (numpy, zero-copy views)."""
+    import numpy as np
+
+    shapes = {}
+    if want_matrix:
+        shapes["counts_b"] = (nb, n_surf)
+        shapes["counts_f"] = (nb, n_surf)
+    if want_any:
+        if discrete:
+            shapes["sky_bins"] = (nb, TREGENZA_BINS)
+        else:
+            shapes["upward"] = (nb,)
+    host, off = {}, 0
+    for k in sorted(shapes):
+        n = int(np.prod(shapes[k]))
+        host[k] = np.asarray(flat[off : off + n]).reshape(shapes[k])
+        off += n
+    if off != flat.size:
+        raise ValueError(f"packed output size mismatch: {off} != {flat.size}")
+    return host
 
 
 def chunk_body_pallas(
@@ -1012,6 +1048,8 @@ def trace_chunk(
 
 __all__ = [
     "generate_rays",
+    "pack_outputs",
+    "unpack_outputs",
     "chunk_body",
     "chunk_body_pallas",
     "scheduled_trace",

@@ -687,7 +687,11 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
     """
     import jax.numpy as jnp
 
-    from .ops.trace import scheduled_trace, scheduled_trace_pallas
+    from .ops.trace import (
+        scheduled_trace,
+        scheduled_trace_pallas,
+        unpack_outputs,
+    )
 
     import jax
 
@@ -850,6 +854,7 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
                 want_any=want_any,
                 discrete=discrete,
                 interpret=interpret,
+                pack_out=True,
             )
         else:
             out = scheduled_trace(
@@ -862,8 +867,17 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
                 want_matrix=want_matrix,
                 want_any=want_any,
                 discrete=discrete,
+                pack_out=True,
             )
-        host = {k: np.asarray(v) for k, v in out.items()}
+        if mesh is not None:
+            host = {k: np.asarray(v) for k, v in out.items()}
+        else:
+            # ONE packed D2H fetch per round instead of one blocking RPC per
+            # output array (~35-100 ms each on a remote-tunnel TPU)
+            host = unpack_outputs(
+                np.asarray(out), nb, n_surf,
+                want_matrix=want_matrix, want_any=want_any, discrete=discrete,
+            )
 
         for entry, start_row, bpi, chunk in plan:
             consume(entry, host, start_row, bpi, chunk)
