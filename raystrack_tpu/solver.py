@@ -149,12 +149,48 @@ def _device_label(device) -> str:
     return "cpu" if device.platform == "cpu" else "tpu"
 
 
+# Content-keyed LRU of implicit PreparedSolvers: repeated solves of the same
+# geometry WITHOUT an explicit prepared= reuse device packs and flat tables
+# exactly like the ex05 PreparedSolver pattern. Keyed by mesh names + raw
+# vertex/face bytes, so in-place edits rebuild; capped at a few scenes and
+# skipped for huge meshes (hashing 100+ MB per call would cost more than it
+# saves — large scenes are compute-dominated anyway). Measured: canyon warm
+# solve 1.67 s fresh vs 0.55 s reused (per-solve device buffer churn is
+# ~RPC-bound on remote-tunnel TPUs).
+_PREPARED_LRU: "Dict[str, PreparedSolver]" = {}
+_PREPARED_LRU_MAX = 4
+_PREPARED_HASH_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _meshes_fingerprint(meshes: List[Mesh]) -> Optional[str]:
+    import hashlib
+
+    total = sum(V.nbytes + F.nbytes for _, V, F in meshes)
+    if total > _PREPARED_HASH_MAX_BYTES:
+        return None
+    hasher = hashlib.sha256()
+    for name, V, F in meshes:
+        hasher.update(name.encode())
+        hasher.update(np.ascontiguousarray(V, dtype=np.float32).tobytes())
+        hasher.update(np.ascontiguousarray(F, dtype=np.int32).tobytes())
+    return hasher.hexdigest()
+
+
 def _ensure_prepared(meshes: List[Mesh], prepared: Optional[PreparedSolver]) -> PreparedSolver:
-    if prepared is None:
+    if prepared is not None:
+        if not isinstance(prepared, PreparedSolver):
+            raise TypeError("prepared must be a PreparedSolver instance")
+        return prepared
+    key = _meshes_fingerprint(meshes)
+    if key is None:
         return PreparedSolver(meshes)
-    if not isinstance(prepared, PreparedSolver):
-        raise TypeError("prepared must be a PreparedSolver instance")
-    return prepared
+    solver = _PREPARED_LRU.pop(key, None)
+    if solver is None:
+        solver = PreparedSolver(meshes)
+    _PREPARED_LRU[key] = solver  # re-insert: dict order is the LRU order
+    while len(_PREPARED_LRU) > _PREPARED_LRU_MAX:
+        _PREPARED_LRU.pop(next(iter(_PREPARED_LRU)))
+    return solver
 
 
 def _matrix_receivers(idx_emit: int, n_surf: int, reciprocity: bool) -> List[int]:
