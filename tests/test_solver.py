@@ -465,3 +465,34 @@ def test_matrix_row_sink_reciprocity_resume_streams_new_rows(tmp_path):
     assert resumed == full
     assert list(sunk) == ["top"]
     assert sunk["top"] == full["top"]  # complete: all back-fill present
+
+
+def test_implicit_prepared_cache_tracks_content():
+    """Solves without prepared= reuse cached device state for identical
+    geometry, but any in-place edit (content change) must rebuild — the
+    cache is keyed by mesh bytes, not object identity."""
+    import raystrack_tpu.solver as S
+
+    def plates(gap):
+        V0 = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+        V1 = (V0 + np.float32([0, 0, gap]))
+        F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        Ff = F[:, [0, 2, 1]].copy()
+        return [("bottom", V0, F), ("top", V1, Ff)]
+
+    params = MatrixParams(samples=4, rays=32, seed=3, device="cpu",
+                          max_iters=4, min_iters=2, tol=1e-3)
+    meshes = plates(1.0)
+    first = view_factor_matrix(meshes, params=params)
+    # identical content -> cache hit (same PreparedSolver object) and
+    # identical results
+    key = S._meshes_fingerprint(meshes)
+    assert key in S._PREPARED_LRU
+    cached = S._PREPARED_LRU[key]
+    again = view_factor_matrix(plates(1.0), params=params)
+    assert again == first
+    assert S._PREPARED_LRU[key] is cached
+    # in-place mutation changes the bytes -> rebuild, result changes
+    meshes[1][1][:, 2] = 2.0  # move the top plate farther away
+    moved = view_factor_matrix(meshes, params=params)
+    assert moved["bottom"]["top_front"] < first["bottom"]["top_front"]
