@@ -17,6 +17,7 @@ from .solver import (
     view_factor_to_tregenza_sky,
     view_factor_matrix_and_sky,
     outside_workflow_shareable,
+    clear_prepared_cache,
 )
 from .api import view_factor_outside_workflow
 from .prepared import PreparedSolver
@@ -43,6 +44,7 @@ __all__ = [
     "MatrixParams",
     "SkyParams",
     "PreparedSolver",
+    "clear_prepared_cache",
     "save_vf_matrix_json",
     "VFMatrixStreamWriter",
     "load_vf_matrix_json",

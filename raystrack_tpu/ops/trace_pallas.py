@@ -747,7 +747,14 @@ def sweep_rays_scheduled(
 
     from ..config import GATE_MAX_GROUP
 
-    use_gate = accel is not None and gate_group_size(n_tiles) <= GATE_MAX_GROUP
+    # single-tile scenes run ungated (a one-box gate can never skip work,
+    # and the ungated branch's ray-block widening applies) — matches the
+    # gate_prunes() predicate callers use for the sort decision
+    use_gate = (
+        accel is not None
+        and n_tiles > 1
+        and gate_group_size(n_tiles) <= GATE_MAX_GROUP
+    )
     gate_group = 1
     if use_gate:
         aabb, order, gate_group = _gate_tables(
@@ -875,7 +882,14 @@ def sweep_rays(
     # sizes (> GATE_MAX_GROUP) fall back to the ungated sweep.
     from ..config import GATE_MAX_GROUP
 
-    use_gate = accel is not None and gate_group_size(n_tiles) <= GATE_MAX_GROUP
+    # single-tile scenes run ungated (a one-box gate can never skip work,
+    # and the ungated branch's ray-block widening applies) — matches the
+    # gate_prunes() predicate callers use for the sort decision
+    use_gate = (
+        accel is not None
+        and n_tiles > 1
+        and gate_group_size(n_tiles) <= GATE_MAX_GROUP
+    )
     gate_group = 1
     if use_gate:
         aabb, order, gate_group = _gate_tables(

@@ -544,6 +544,20 @@ def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
     )
 
 
+def emitter_plane_vec(emitter: PreparedEmitter) -> np.ndarray:
+    """The (8,) f32 ``[plane_origin, plane_normal, plane_tol, is_planar]``
+    culling vector — single source of the plane_vec/plane_host layout for
+    both eager (`pack_emitter`) and lazy (solver `_make_emitter_pack`)
+    packs."""
+    return np.concatenate(
+        [
+            emitter.plane_origin.astype(np.float32),
+            emitter.plane_normal.astype(np.float32),
+            np.float32([emitter.plane_tol, 1.0 if emitter.plane_is_planar else 0.0]),
+        ]
+    )
+
+
 def pack_emitter(
     emitter: PreparedEmitter,
     rays: int,
@@ -571,13 +585,7 @@ def pack_emitter(
 
     put = lambda a: jax.device_put(np.asarray(a), device)
     put_r = lambda a: jax.device_put(np.asarray(a), ray_device)
-    plane_host = np.concatenate(
-        [
-            emitter.plane_origin.astype(np.float32),
-            emitter.plane_normal.astype(np.float32),
-            np.float32([emitter.plane_tol, 1.0 if emitter.plane_is_planar else 0.0]),
-        ]
-    )
+    plane_host = emitter_plane_vec(emitter)
     return EmitterPack(
         u_cell=put_r(pad1(u_cell)),
         v_cell=put_r(pad1(v_cell)),

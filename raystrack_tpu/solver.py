@@ -162,6 +162,18 @@ _PREPARED_LRU_MAX = 4
 _PREPARED_HASH_MAX_BYTES = 64 * 1024 * 1024
 
 
+def hash_meshes(hasher, meshes: List[Mesh]) -> None:
+    """Feed mesh content into ``hasher`` injectively: names are
+    length-delimited and array shapes are hashed alongside the bytes, so
+    two different mesh lists can never produce the same stream."""
+    for name, V, F in meshes:
+        nb = name.encode()
+        hasher.update(np.int64([len(nb), V.shape[0], F.shape[0]]).tobytes())
+        hasher.update(nb)
+        hasher.update(np.ascontiguousarray(V, dtype=np.float32).tobytes())
+        hasher.update(np.ascontiguousarray(F, dtype=np.int32).tobytes())
+
+
 def _meshes_fingerprint(meshes: List[Mesh]) -> Optional[str]:
     import hashlib
 
@@ -169,11 +181,15 @@ def _meshes_fingerprint(meshes: List[Mesh]) -> Optional[str]:
     if total > _PREPARED_HASH_MAX_BYTES:
         return None
     hasher = hashlib.sha256()
-    for name, V, F in meshes:
-        hasher.update(name.encode())
-        hasher.update(np.ascontiguousarray(V, dtype=np.float32).tobytes())
-        hasher.update(np.ascontiguousarray(F, dtype=np.int32).tobytes())
+    hash_meshes(hasher, meshes)
     return hasher.hexdigest()
+
+
+def clear_prepared_cache() -> None:
+    """Drop the implicit PreparedSolver cache (releases the cached scenes'
+    device buffers once no other references remain). Solves with an
+    explicit ``prepared=`` are unaffected."""
+    _PREPARED_LRU.clear()
 
 
 def _ensure_prepared(meshes: List[Mesh], prepared: Optional[PreparedSolver]) -> PreparedSolver:
@@ -186,7 +202,14 @@ def _ensure_prepared(meshes: List[Mesh], prepared: Optional[PreparedSolver]) -> 
         return PreparedSolver(meshes)
     solver = _PREPARED_LRU.pop(key, None)
     if solver is None:
-        solver = PreparedSolver(meshes)
+        # deep-copy the arrays: the cached solver builds state LAZILY (new
+        # bvh mode or sampling setup triggers prep later), so it must own
+        # geometry frozen at fingerprint time — aliasing the caller's
+        # arrays would let an in-place edit corrupt later lazy prep while
+        # the key still matches the old content
+        solver = PreparedSolver(
+            [(name, V.copy(), F.copy()) for name, V, F in meshes]
+        )
     _PREPARED_LRU[key] = solver  # re-insert: dict order is the LRU order
     while len(_PREPARED_LRU) > _PREPARED_LRU_MAX:
         _PREPARED_LRU.pop(next(iter(_PREPARED_LRU)))
@@ -639,21 +662,13 @@ def _make_emitter_pack(prepared_solver, idx_emit, p, flip_faces, align,
     if not lazy:
         return factory()
 
-    from .prepared import LazyEmitterPack, _pad_rays
+    from .prepared import LazyEmitterPack, _pad_rays, emitter_plane_vec
 
     emitter = prepared_solver.get_emitter(
         idx_emit, samples=p["samples"], rays=p["rays"], flip_faces=flip_faces
     )
     n_once = emitter.n_cells * p["rays"]
-    plane_host = np.concatenate(
-        [
-            emitter.plane_origin.astype(np.float32),
-            emitter.plane_normal.astype(np.float32),
-            np.float32(
-                [emitter.plane_tol, 1.0 if emitter.plane_is_planar else 0.0]
-            ),
-        ]
-    )
+    plane_host = emitter_plane_vec(emitter)
     return LazyEmitterPack(
         factory,
         n_rays_once=n_once,
@@ -1294,10 +1309,7 @@ class _CheckpointStore:
             ).encode()
         )
         # geometry content, not just shape: edited vertices must invalidate
-        for name, V, F in meshes:
-            hasher.update(name.encode())
-            hasher.update(np.ascontiguousarray(V, dtype=np.float32).tobytes())
-            hasher.update(np.ascontiguousarray(F, dtype=np.int32).tobytes())
+        hash_meshes(hasher, meshes)
         self.fingerprint = hasher.hexdigest()[:16]
 
     def _path(self, idx: int):
@@ -1573,6 +1585,10 @@ def view_factor_matrix(
     # Phase 2: whole-scene scheduled dispatches when possible, then the
     # pipelined per-emitter driver for anything left (single emitters,
     # Pallas-swept scenes, device-mesh solves)
+    kernel, interpret = _rescope_kernel(
+        entries, kernel, interpret, device, mesh,
+        prepared_solver.total_faces, use_scheduler,
+    )
     with profiler("matrix_solve"):
         if len(entries) > 1:
             if use_scheduler:
@@ -1762,6 +1778,10 @@ def view_factor_to_tregenza_sky(
             )
         if entry["monitor"].done:
             _entry_done(entry)
+    kernel, interpret = _rescope_kernel(
+        entries, kernel, interpret, device, mesh,
+        prepared_solver.total_faces, use_scheduler,
+    )
     if len(entries) > 1:
         if use_scheduler:
             _drive_sky_scheduled(
@@ -2005,6 +2025,10 @@ def view_factor_matrix_and_sky(
         m, s = entry["matrix_mon"], entry["sky_mon"]
         if (m is None or m.done) and s.done:
             _entry_done(entry)
+    kernel, interpret = _rescope_kernel(
+        entries, kernel, interpret, device, mesh,
+        prepared_solver.total_faces, use_scheduler,
+    )
     if len(entries) > 1 and use_scheduler:
         _drive_combined_scheduled(
             entries, prepared_solver, mp, align, scene_pack, pack_dev,
@@ -2088,6 +2112,25 @@ def _resolve_kernel(
         )
     interpret = kernel == "pallas" and device.platform == "cpu"
     return kernel, interpret
+
+
+def _rescope_kernel(entries, kernel, interpret, device, mesh, n_tri,
+                    use_scheduler):
+    """Re-resolve the kernel once the pending-entry count is known.
+
+    ``_resolve_kernel(scheduled=...)`` runs before checkpoint restore, keyed
+    off ``len(meshes)``; if restores (or empty emitters) leave <= 1 pending
+    entry the scheduled driver never runs, and the pipelined driver would
+    sweep a tiny scene with a kernel chosen for the scheduled regime. Patch
+    every entry's run with the corrected choice."""
+    new_kernel, new_interpret = _resolve_kernel(
+        device, mesh, n_tri, scheduled=use_scheduler and len(entries) > 1
+    )
+    if (new_kernel, new_interpret) != (kernel, interpret):
+        for entry in entries:
+            entry["run"].kernel = new_kernel
+            entry["run"].interpret = new_interpret
+    return new_kernel, new_interpret
 
 
 def _progress_line(
