@@ -496,3 +496,64 @@ def test_implicit_prepared_cache_tracks_content():
     meshes[1][1][:, 2] = 2.0  # move the top plate farther away
     moved = view_factor_matrix(meshes, params=params)
     assert moved["bottom"]["top_front"] < first["bottom"]["top_front"]
+
+
+def test_clear_prepared_cache_empties_lru():
+    import raystrack_tpu.solver as S
+    from raystrack_tpu import clear_prepared_cache
+
+    V = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    params = MatrixParams(samples=4, rays=32, seed=3, device="cpu",
+                          max_iters=2, min_iters=1, tol=1e-2)
+    view_factor_matrix([("solo", V, F)], params=params)
+    assert S._PREPARED_LRU
+    clear_prepared_cache()
+    assert not S._PREPARED_LRU
+
+
+def test_rescope_kernel_downgrades_single_pending_entry():
+    """A solve whose checkpoint restores leave <=1 pending entry must not
+    keep the scheduled-regime kernel choice: the pipelined driver would
+    sweep a tiny scene with Pallas (the regime config documents as slower
+    than XLA there)."""
+    from types import SimpleNamespace
+    import raystrack_tpu.solver as S
+
+    dev = SimpleNamespace(platform="tpu")
+    n_tri = 22  # well under PALLAS_MIN_TRIS
+    kernel, interpret = S._resolve_kernel(dev, None, n_tri, scheduled=True)
+    assert kernel == "pallas"
+    run = SimpleNamespace(kernel=kernel, interpret=interpret)
+    entries = [dict(run=run)]
+    new_kernel, new_interpret = S._rescope_kernel(
+        entries, kernel, interpret, dev, None, n_tri, use_scheduler=True
+    )
+    assert new_kernel == "xla" and run.kernel == "xla"
+    assert new_interpret is False and run.interpret is False
+    # two pending entries keep the scheduled-regime choice
+    runs = [SimpleNamespace(kernel="pallas", interpret=False) for _ in range(2)]
+    entries = [dict(run=r) for r in runs]
+    k2, _ = S._rescope_kernel(
+        entries, "pallas", False, dev, None, n_tri, use_scheduler=True
+    )
+    assert k2 == "pallas" and all(r.kernel == "pallas" for r in runs)
+
+
+def test_lazy_and_eager_plane_vec_agree():
+    """The lazy pack's plane_host must be byte-identical to the eager
+    pack's (single emitter_plane_vec source)."""
+    from raystrack_tpu.prepared import PreparedSolver
+
+    V = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    ps = PreparedSolver([("plate", V, F)])
+    params = dict(samples=4, rays=32)
+    eager = ps.get_emitter_pack(0, samples=4, rays=32, flip_faces=False)
+    import raystrack_tpu.solver as S
+
+    lazy = S._make_emitter_pack(
+        ps, 0, {"samples": 4, "rays": 32}, False, 8, None, None, lazy=True
+    )
+    np.testing.assert_array_equal(lazy.plane_host, eager.plane_host)
+    assert lazy.n_rays_once == eager.n_rays_once
