@@ -48,6 +48,7 @@ def plan_chunk(
     max_iters: int,
     rays_per_iter: int,
     projected_total: Optional[int] = None,
+    pow4: bool = True,
 ) -> int:
     """Pick the next speculative chunk size (power of four, bounded).
 
@@ -59,6 +60,14 @@ def plan_chunk(
     device compute for expensive host/device round trips. Power-of-FOUR
     sizes (1, 4, 16, 64) bound the distinct compiled shapes per emitter
     size class — compilation is expensive relative to tracing.
+
+    ``pow4=False`` returns the exact bounded size instead: the scheduled
+    driver's dispatch shape is the (independently size-bucketed) block
+    count, not the chunk, so exact chunks cost no extra compiles there and
+    reach checkpoints in fewer convergence rounds — e.g. min_iters=5 takes
+    one 5-iteration round instead of 4-then-1 (each round is a ~100 ms
+    host round-trip on a remote-tunnel TPU). Results are identical either
+    way: the replay discards overshoot iterations exactly.
     """
     remaining = int(max_iters) - int(iters_done)
     if remaining <= 0:
@@ -72,6 +81,8 @@ def plan_chunk(
     desired = min(need + (iters_done * SPECULATION_PCT) // 100, remaining)
     ray_cap = max(1, TARGET_CHUNK_RAYS // max(1, int(rays_per_iter)))
     bound = min(desired, ray_cap, MAX_CHUNK, remaining)
+    if not pow4:
+        return max(1, bound)
     chunk = 1
     while chunk * 4 <= bound:
         chunk *= 4

@@ -783,6 +783,9 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         return any(not m.done for m in _entry_monitors(entry))
 
     def entry_plan(entry, rays_per_iter: int) -> int:
+        # exact (non-pow4) chunks: the dispatch shape is the size-bucketed
+        # block count, so chunk granularity costs no extra compiles here,
+        # and reaching each checkpoint in ONE round minimizes round-trips
         return max(
             plan_chunk(
                 m.iters_done,
@@ -791,6 +794,7 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
                 max_iters=m.max_iters,
                 rays_per_iter=rays_per_iter,
                 projected_total=m.projected_total(),
+                pow4=False,
             )
             for m in _entry_monitors(entry)
             if not m.done

@@ -44,6 +44,24 @@ def test_plan_chunk_power_of_four_and_caps():
                       rays_per_iter=10_000_000) == 1
 
 
+def test_plan_chunk_exact_mode_reaches_checkpoints_in_one_round():
+    # pow4=False (scheduled driver): the exact bounded size, so min_iters=5
+    # is one 5-iteration round, not 4-then-1
+    assert plan_chunk(0, min_iters=5, interval=1, max_iters=500,
+                      rays_per_iter=1000, pow4=False) == 5
+    # heading straight to a stderr projection plus speculation margin
+    assert plan_chunk(40, min_iters=5, interval=1, max_iters=500,
+                      rays_per_iter=1000, projected_total=80,
+                      pow4=False) == 50  # need 40 + 25% of 40
+    # caps still apply: remaining, ray budget
+    assert plan_chunk(499, min_iters=5, interval=1, max_iters=500,
+                      rays_per_iter=1, pow4=False) == 1
+    assert plan_chunk(500, min_iters=5, interval=1, max_iters=500,
+                      rays_per_iter=1, pow4=False) == 0
+    assert plan_chunk(0, min_iters=64, interval=1, max_iters=500,
+                      rays_per_iter=10_000_000, pow4=False) == 1
+
+
 def _mk_matrix(tol_mode="stderr", tol=1e-3, min_iters=2, max_iters=50):
     return MatrixMonitor(
         2, np.array([1]), n_rays_once=1000, tol=tol, tol_mode=tol_mode,
