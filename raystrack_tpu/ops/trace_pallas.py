@@ -747,9 +747,10 @@ def sweep_rays_scheduled(
 
     from ..config import GATE_MAX_GROUP
 
-    # single-tile scenes run ungated (a one-box gate can never skip work,
-    # and the ungated branch's ray-block widening applies) — matches the
-    # gate_prunes() predicate callers use for the sort decision
+    # single-tile scenes run ungated (a one-box gate can never skip work;
+    # ray_block here is fixed by the schedule row size, so unlike
+    # sweep_rays no block widening applies) — matches the gate_prunes()
+    # predicate callers use for the sort decision
     use_gate = (
         accel is not None
         and n_tiles > 1

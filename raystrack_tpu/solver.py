@@ -163,9 +163,12 @@ _PREPARED_HASH_MAX_BYTES = 64 * 1024 * 1024
 
 
 def hash_meshes(hasher, meshes: List[Mesh]) -> None:
-    """Feed mesh content into ``hasher`` injectively: names are
-    length-delimited and array shapes are hashed alongside the bytes, so
-    two different mesh lists can never produce the same stream."""
+    """Feed mesh content into ``hasher``: names are length-delimited and
+    array shapes are hashed alongside the bytes, so the stream is injective
+    up to the f32/int32 casts below (inputs differing only beyond f32
+    precision hash alike — safe because all prep casts to f32 at point of
+    use). Changing this stream invalidates persisted checkpoint
+    fingerprints (_CheckpointStore): older checkpoint dirs re-solve."""
     for name, V, F in meshes:
         nb = name.encode()
         hasher.update(np.int64([len(nb), V.shape[0], F.shape[0]]).tobytes())
@@ -2120,13 +2123,19 @@ def _resolve_kernel(
 
 def _rescope_kernel(entries, kernel, interpret, device, mesh, n_tri,
                     use_scheduler):
-    """Re-resolve the kernel once the pending-entry count is known.
+    """Re-resolve the kernel once the entry list is built.
 
     ``_resolve_kernel(scheduled=...)`` runs before checkpoint restore, keyed
-    off ``len(meshes)``; if restores (or empty emitters) leave <= 1 pending
-    entry the scheduled driver never runs, and the pipelined driver would
-    sweep a tiny scene with a kernel chosen for the scheduled regime. Patch
-    every entry's run with the corrected choice."""
+    off ``len(meshes)``; if restores (or empty emitters) leave <= 1 entry
+    the scheduled driver never runs, and the pipelined driver would sweep a
+    tiny scene with a kernel chosen for the scheduled regime. Patch every
+    entry's run with the corrected choice.
+
+    Deliberately counts ``entries`` — NOT entries still pending — because
+    the drivers' own dispatch conditions are ``len(entries) > 1``: an entry
+    finished by a progress snapshot stays in the list and the scheduled
+    driver still runs for the rest, so counting only pending entries here
+    could downgrade the kernel while the scheduled driver executes."""
     new_kernel, new_interpret = _resolve_kernel(
         device, mesh, n_tri, scheduled=use_scheduler and len(entries) > 1
     )

@@ -548,7 +548,6 @@ def test_lazy_and_eager_plane_vec_agree():
     V = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
     F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
     ps = PreparedSolver([("plate", V, F)])
-    params = dict(samples=4, rays=32)
     eager = ps.get_emitter_pack(0, samples=4, rays=32, flip_faces=False)
     import raystrack_tpu.solver as S
 
