@@ -130,6 +130,10 @@ GROUPED_MIN_ACTIVE = _env_float("RAYSTRACK_TPU_GROUPED_MIN_ACTIVE", 1.0)
 # (64M rays ~= 1.8 GB of tables).
 SCHED_MAX_FLAT_RAYS = _env_int("RAYSTRACK_TPU_SCHED_MAX_FLAT_RAYS", 67_108_864)
 
+# Scheduled-round block budget floor: a round always admits at least this
+# many RAY_BLOCK-sized blocks even when TARGET_CHUNK_RAYS is tiny.
+SCHED_MIN_BLOCKS = _env_int("RAYSTRACK_TPU_SCHED_MIN_BLOCKS", 256)
+
 # Scheduled-raygen gather strategy: emitters with at most this many faces
 # use the dense formulation (compare-sum CDF pick + one-hot matmul gather,
 # O(F) per ray but ~10x faster than TPU scalar gathers at small F, and

@@ -805,10 +805,34 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
 
     # XLA rounds never materialize rays (fused per block); Pallas rounds do,
     # so their block budget is capped at one materialized TARGET_CHUNK_RAYS.
+    # Read via the config module so tests can shrink the budget.
+    from . import config as _cfg
+
     max_blocks = max(
-        256, TARGET_CHUNK_RAYS // RAY_BLOCK * (1 if use_pallas else 8)
+        _cfg.SCHED_MIN_BLOCKS,
+        _cfg.TARGET_CHUNK_RAYS // RAY_BLOCK * (1 if use_pallas else 8),
     )
     pending = [e for e in entries if entry_pending(e)]
+    if use_pallas:
+        # An emitter whose SINGLE iteration exceeds the materialized-ray
+        # budget can never fit a Pallas round: leave it pending for the
+        # per-emitter drivers, which bound rays per dispatch. Forcing it in
+        # (the old max(1, ...) budget floor) compiled rounds of several
+        # times the ray budget — a compile-time HBM OOM at city scale
+        # (e.g. 126 emitters + a 10M-ray/iteration ground plane).
+        fits = lambda e: int(n_pad[e["idx"]]) // RAY_BLOCK <= max_blocks
+        dropped = [e for e in pending if not fits(e)]
+        if dropped:
+            pending = [e for e in pending if fits(e)]
+            if mesh is None:
+                # these entries run pipelined, where the scheduled-regime
+                # kernel override no longer applies — re-resolve for them
+                k2, i2 = _resolve_kernel(
+                    pack_dev, mesh, prepared_solver.total_faces,
+                    scheduled=False,
+                )
+                for e in dropped:
+                    e["run"].kernel, e["run"].interpret = k2, i2
     while pending:
         rows: List[List[int]] = []
         cp_list: List[np.ndarray] = []
@@ -818,6 +842,11 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             run = entry["run"]
             e = entry["idx"]
             bpi = int(n_pad[e]) // RAY_BLOCK
+            if rows and len(rows) + bpi > max_blocks:
+                # not even one iteration fits this round; the entry stays
+                # pending and leads the next round (rounds never overshoot
+                # max_blocks, which for Pallas bounds materialized rays)
+                continue
             budget = max(1, (max_blocks - len(rows)) // max(1, bpi))
             chunk = min(entry_plan(entry, int(n_pad[e])), budget)
             if chunk <= 0:

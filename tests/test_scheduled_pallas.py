@@ -278,3 +278,36 @@ def test_scheduled_two_level_gate_bitwise(monkeypatch):
     monkeypatch.setattr(config, "GATE_MAX_TILES", 2)
     ps = PreparedSolver(_cloud_scene(730, seed=22))
     _assert_equal(*_both(ps, [0, 1], seed=9, tri_tile=256))
+
+
+def test_oversized_emitter_falls_through_to_pipelined(monkeypatch):
+    """An emitter whose single iteration exceeds the Pallas round budget
+    must be excluded from scheduled rounds (it would materialize a round
+    several times TARGET_CHUNK_RAYS — a compile-time HBM OOM at city
+    scale) and solved by the per-emitter drivers instead, with identical
+    results."""
+    from raystrack_tpu import config
+    from raystrack_tpu.config import RAY_BLOCK
+
+    # big plate: large area -> many grid cells -> rays/iter far above the
+    # shrunken budget; small plates fit comfortably
+    meshes = [
+        _plate("big", 0.0, h=16.0),
+        _plate("top_a", 4.0, h=1.0, flip=True),
+        _plate("top_b", 8.0, h=1.0, flip=True),
+    ]
+    params = MatrixParams(samples=2, rays=8, seed=3, device="cpu",
+                          bvh="off", max_iters=3, min_iters=2, tol=1e-3,
+                          reciprocity=False)
+    base = view_factor_matrix(meshes, params=params)
+    _force_scheduled_pallas(monkeypatch)
+    # budget: 2-block rounds (512 rays) — "big" needs more per iteration
+    monkeypatch.setattr(config, "SCHED_MIN_BLOCKS", 2)
+    monkeypatch.setattr(config, "TARGET_CHUNK_RAYS", 2 * RAY_BLOCK)
+    from raystrack_tpu.prepared import PreparedSolver
+
+    ps = PreparedSolver(meshes)
+    emitters = ps.get_emitters(samples=2, rays=8, flip_faces=False)
+    assert emitters[0].n_cells * 8 > 2 * RAY_BLOCK  # truly oversized
+    assert emitters[1].n_cells * 8 <= 2 * RAY_BLOCK  # others fit
+    assert view_factor_matrix(meshes, params=params) == base
