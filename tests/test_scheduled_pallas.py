@@ -290,11 +290,13 @@ def test_oversized_emitter_falls_through_to_pipelined(monkeypatch):
     from raystrack_tpu.config import RAY_BLOCK
 
     # big plate: large area -> many grid cells -> rays/iter far above the
-    # shrunken budget; small plates fit comfortably
+    # shrunken budget; small plates fit comfortably. Big goes LAST so its
+    # flat-table offset range starts above 0 (schedule padding rows carry
+    # offset 0 and must not trip the spy below).
     meshes = [
-        _plate("big", 0.0, h=16.0),
         _plate("top_a", 4.0, h=1.0, flip=True),
         _plate("top_b", 8.0, h=1.0, flip=True),
+        _plate("big", 0.0, h=16.0),
     ]
     params = MatrixParams(samples=2, rays=8, seed=3, device="cpu",
                           bvh="off", max_iters=3, min_iters=2, tol=1e-3,
@@ -308,6 +310,34 @@ def test_oversized_emitter_falls_through_to_pipelined(monkeypatch):
 
     ps = PreparedSolver(meshes)
     emitters = ps.get_emitters(samples=2, rays=8, flip_faces=False)
-    assert emitters[0].n_cells * 8 > 2 * RAY_BLOCK  # truly oversized
-    assert emitters[1].n_cells * 8 <= 2 * RAY_BLOCK  # others fit
+    assert emitters[2].n_cells * 8 > 2 * RAY_BLOCK  # truly oversized
+    assert emitters[0].n_cells * 8 <= 2 * RAY_BLOCK  # others fit
+
+    # spy: no scheduled round may reference the oversized emitter's flat
+    # table offsets — it must be excluded upfront, not merely deferred
+    _, _, offsets, n_pad = ps.get_flat_tables(
+        samples=2, rays=8, flip_faces=False, align=RAY_BLOCK
+    )
+    lo, hi = int(offsets[2]), int(offsets[2]) + int(n_pad[2])
+    assert lo > 0
+    from raystrack_tpu.ops import trace as T
+
+    orig = T.scheduled_trace_pallas
+    calls = []
+
+    def spy(scene, tables_flat, geom_stacked, cp, surf, emit, mins, once,
+            plane, schedule, *a, **k):
+        offs = np.asarray(schedule)[:, 2]
+        assert not np.any((offs >= lo) & (offs < hi)), (
+            "oversized emitter appeared in a scheduled Pallas round"
+        )
+        calls.append(schedule.shape[0])
+        return orig(scene, tables_flat, geom_stacked, cp, surf, emit, mins,
+                    once, plane, schedule, *a, **k)
+
+    monkeypatch.setattr(T, "scheduled_trace_pallas", spy)
+    import raystrack_tpu.solver as S
+
+    monkeypatch.setattr(S, "scheduled_trace_pallas", spy, raising=False)
     assert view_factor_matrix(meshes, params=params) == base
+    assert calls, "scheduled driver did not run for the small emitters"
