@@ -1,9 +1,18 @@
 #!/usr/bin/env python3
 """Headline benchmark: ray-triangle intersection throughput on one chip.
 
-Prints ONE JSON line:
+Prints the headline JSON line IMMEDIATELY after the headline measurement
+(flushed), then runs the secondary blocks each under its own wall-clock
+budget, and finally prints an enriched JSON line with every field that
+finished in time:
+
   {"metric": "ray_triangle_tests_per_sec", "value": N, "unit": "tests/s",
    "vs_baseline": N / 1e9, ...}
+
+The two-line structure exists because the harness runs this script under a
+hard timeout: a cold compilation cache must never zero the whole artifact
+(round 3 lost its bench to exactly that — every secondary compiled cold and
+the timeout hit before the single end-of-run JSON print).
 
 The baseline north star is 1e9 ray-triangle tests/sec/chip (BASELINE.json).
 The headline workload is the fused solve step (raygen + Möller-Trumbore
@@ -12,15 +21,24 @@ counted test is a real intersection test.
 
 Secondary fields keep the headline honest:
 - ``occluded_city``: user-visible rays/s on dense occluded city scenes at
-  1e4/1e5/1e6 triangles, with acceleration (AABB-gated, coherence-sorted
-  sweep) and brute force — hit counts are asserted identical.
+  1e4/1e5/1e6/1e7 triangles, with acceleration (AABB-gated,
+  coherence-sorted sweep) and brute force — hit counts are asserted
+  identical (the 1e7 point checks against a calibrated committed checksum
+  so its brute anchor doesn't have to re-run every round; pass
+  ``--calibrate`` to regenerate ``bench_expected.json`` with a live brute
+  run).
 - ``canyon_solve_s``: warm full-solve wall clock of the 22-triangle street
   canyon (dispatch-overhead regime; driven by the scheduled driver).
 - ``parallel_plates_abs_err``: accuracy anchor vs the analytical value.
+
+Budget: total wall clock is bounded by RAYSTRACK_TPU_BENCH_BUDGET_S
+(default 420 s). Each secondary is skipped with a note when the remaining
+budget is below its estimated cold cost.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -44,6 +62,18 @@ RAYS_PER_CELL = 256
 SAMPLES = 1  # 16x16 emitter area 256 -> g = 16 -> 65536 rays/iter
 CHUNK = 4
 REPS = 5
+
+_START = time.monotonic()
+_BUDGET_S = float(os.environ.get("RAYSTRACK_TPU_BENCH_BUDGET_S", "420"))
+_EXPECTED_PATH = Path(__file__).resolve().parent / "bench_expected.json"
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _START)
+
+
+def _note(msg: str) -> None:
+    print(f"# {msg}", flush=True)
 
 
 def _force(out) -> int:
@@ -134,36 +164,92 @@ def _headline():
     return tests / best, CHUNK * em.n_rays_pad / best, scene.n_tri_pad, em
 
 
-def _city_curve():
-    """rays/s on occluded scenes, acceleration vs brute force.
+def _platform_key() -> str:
+    return jax.devices()[0].device_kind.replace(" ", "_")
 
-    The 10M point (two-level gate territory: 4883 tiles -> grouped boxes)
-    runs a lighter ray load so its brute-force anchor stays affordable.
+
+def _load_expected() -> dict:
+    try:
+        return json.loads(_EXPECTED_PATH.read_text(encoding="utf-8"))
+    except Exception:
+        return {}
+
+
+def _city_point(n_tri: int, *, calibrate: bool, expected: dict) -> dict:
+    """rays/s at one occluded-scene size, acceleration vs brute force.
+
+    Hit counts are the honesty guard: acceleration must not change results.
+    Small sizes assert brute == accel live. The 1e7 point compiles and runs
+    a very large brute program; outside ``--calibrate`` it instead asserts
+    the accel hit checksum against the committed calibration for this
+    device kind (falling back to a live brute run when none exists).
     """
-    points = {}
-    for n_tri in (10_000, 100_000, 1_000_000, 10_000_000):
-        big = n_tri >= 10_000_000
-        chunk, rays, reps = (1, 1, 2) if big else (2, 2, 3)
-        entry = {}
-        hits = {}
-        ps = PreparedSolver(_city(n_tri))
-        for accel in (False, True):
-            run = lambda seed: _run_chunk(ps, accel=accel, seed=seed,
-                                          chunk=chunk, samples=1, rays=rays)
-            out, em, _ = run(0)
-            hits[accel] = _force(out)  # warmup + hit checksum
-            times = []
-            for rep in range(reps):
-                t0 = time.perf_counter()
-                _force(run(rep + 1)[0])
-                times.append(time.perf_counter() - t0)
-            entry["accel" if accel else "brute"] = round(
-                chunk * em.n_rays_pad / min(times)
-            )
+    big = n_tri >= 10_000_000
+    chunk, rays, reps = (1, 1, 2) if big else (2, 2, 3)
+    plat = _platform_key()
+    cal = expected.get(plat, {}).get(str(n_tri)) if big else None
+    run_brute = (not big) or calibrate or cal is None
+
+    entry: dict = {}
+    hits: dict = {}
+    ps = PreparedSolver(_city(n_tri))
+    for accel in ((False, True) if run_brute else (True,)):
+        run = lambda seed: _run_chunk(ps, accel=accel, seed=seed,
+                                      chunk=chunk, samples=1, rays=rays)
+        out, em, _ = run(0)
+        hits[accel] = _force(out)  # warmup + hit checksum
+        times = []
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            _force(run(rep + 1)[0])
+            times.append(time.perf_counter() - t0)
+        entry["accel" if accel else "brute"] = round(
+            chunk * em.n_rays_pad / min(times)
+        )
+    if run_brute:
         assert hits[False] == hits[True], "acceleration changed hit counts!"
         entry["speedup"] = round(entry["accel"] / entry["brute"], 2)
+        if big:
+            entry["_calibration"] = {"hits": hits[True],
+                                     "brute_rays_per_sec": entry["brute"]}
+    else:
+        assert hits[True] == cal["hits"], (
+            f"accel hit checksum {hits[True]} != calibrated {cal['hits']} "
+            f"(run `python bench.py --calibrate` after intended changes)")
+        entry["brute"] = cal["brute_rays_per_sec"]
+        entry["speedup"] = round(entry["accel"] / entry["brute"], 2)
+        entry["brute_anchor"] = "calibrated"
+    return entry
+
+
+def _city_curve(calibrate: bool = False):
+    """Occluded-scene curve; each size point respects the global budget.
+
+    Cold-cost estimates are measured cold-cache numbers on the v5e tunnel
+    (compile + run, see docs/ROADMAP.md round-4 notes).
+    """
+    expected = _load_expected()
+    est_cold = {10_000: 45, 100_000: 50, 1_000_000: 75, 10_000_000: 90}
+    points = {}
+    new_cal = {}
+    for n_tri in (10_000, 100_000, 1_000_000, 10_000_000):
+        need = est_cold[n_tri] * (3 if calibrate and n_tri >= 10_000_000 else 1)
+        if _remaining() < need:
+            _note(f"city[{n_tri}] skipped: {_remaining():.0f}s left < {need}s est")
+            continue
+        t0 = time.monotonic()
+        entry = _city_point(n_tri, calibrate=calibrate, expected=expected)
+        cal = entry.pop("_calibration", None)
+        if cal is not None:
+            new_cal[str(n_tri)] = cal
         points[str(n_tri)] = entry
-    return points
+        _note(f"city[{n_tri}]: {time.monotonic() - t0:.1f}s -> {entry}")
+    if calibrate and new_cal:
+        expected.setdefault(_platform_key(), {}).update(new_cal)
+        _EXPECTED_PATH.write_text(json.dumps(expected, indent=2) + "\n",
+                                  encoding="utf-8")
+        _note(f"calibration written to {_EXPECTED_PATH.name}: {new_cal}")
+    return points or None
 
 
 def _district(n_buildings: int = 96, extent: float = 60.0, seed: int = 3):
@@ -265,6 +351,8 @@ def _best_committed() -> dict:
             parsed = json.loads(path.read_text(encoding="utf-8")).get("parsed", {})
         except Exception:
             continue
+        if not isinstance(parsed, dict):
+            continue
         v = parsed.get("value")
         if isinstance(v, (int, float)):
             best["value"] = max(best.get("value", 0), v)
@@ -294,26 +382,26 @@ def _regressions(result: dict) -> list:
     return out
 
 
-def main():
-    tests_per_sec, rays_per_sec, n_tri_pad, em = _headline()
+def _stage(name: str, est_cold_s: float, fn, default=None):
+    """Run one secondary under the global budget; never raise."""
+    if _remaining() < est_cold_s:
+        _note(f"{name} skipped: {_remaining():.0f}s left < {est_cold_s}s est")
+        return default
+    t0 = time.monotonic()
+    try:
+        out = fn()
+    except Exception as exc:  # pragma: no cover - environment dependent
+        _note(f"{name} failed: {type(exc).__name__}: {exc}")
+        return default
+    _note(f"{name}: {time.monotonic() - t0:.1f}s")
+    return out
 
-    # Secondary blocks are best-effort: the headline JSON line must print
-    # even if a secondary hits a cold cache or transient device error.
-    try:
-        city = _city_curve()
-    except Exception as exc:  # pragma: no cover - environment dependent
-        print(f"# city curve skipped: {type(exc).__name__}: {exc}")
-        city = None
-    try:
-        canyon_s, max_df = _canyon_and_plates()
-    except Exception as exc:  # pragma: no cover - environment dependent
-        print(f"# canyon secondary skipped: {type(exc).__name__}: {exc}")
-        canyon_s, max_df = None, None
-    try:
-        district_s = _district_solve()
-    except Exception as exc:  # pragma: no cover - environment dependent
-        print(f"# district secondary skipped: {type(exc).__name__}: {exc}")
-        district_s = None
+
+def main():
+    calibrate = "--calibrate" in sys.argv[1:]
+    t0 = time.monotonic()
+    tests_per_sec, rays_per_sec, n_tri_pad, em = _headline()
+    _note(f"headline: {time.monotonic() - t0:.1f}s (incl. import+compile)")
 
     result = {
         "metric": "ray_triangle_tests_per_sec",
@@ -323,16 +411,24 @@ def main():
         "rays_per_sec": round(rays_per_sec),
         "n_tri": int(n_tri_pad),
         "rays_per_dispatch": int(CHUNK * em.n_rays_pad),
-        "occluded_city_rays_per_sec": city,
         "device": str(jax.devices()[0]),
-        "canyon_solve_s": canyon_s,
-        "district_97_emitters_solve_s": district_s,
-        "parallel_plates_abs_err": max_df,
     }
+    # The headline must be on disk before any secondary can stall: print the
+    # guaranteed-valid line now, the enriched line at the end.
+    print(json.dumps(result), flush=True)
+
+    canyon_plates = _stage("canyon+plates", 90, _canyon_and_plates,
+                           default=(None, None))
+    result["canyon_solve_s"], result["parallel_plates_abs_err"] = canyon_plates
+    result["district_97_emitters_solve_s"] = _stage(
+        "district", 100, _district_solve)
+    result["occluded_city_rays_per_sec"] = _stage(
+        "city curve", 45, lambda: _city_curve(calibrate))
+
     regressions = _regressions(result)
     if regressions:
         result["regressions"] = regressions
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     if regressions:
         for msg in regressions:
             print(f"# PERF REGRESSION: {msg}", file=sys.stderr)

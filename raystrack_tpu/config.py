@@ -141,6 +141,15 @@ SCHED_MIN_BLOCKS = _env_int("RAYSTRACK_TPU_SCHED_MIN_BLOCKS", 256)
 # O(1) per ray.
 RAYGEN_ONEHOT_MAX_FACES = _env_int("RAYSTRACK_TPU_RAYGEN_ONEHOT_MAX_FACES", 128)
 
+# Implicit PreparedSolver reuse: solves WITHOUT an explicit prepared= keep
+# up to 4 content-keyed PreparedSolvers alive (device scene packs, flat ray
+# tables, emitter packs) so repeated solves of the same geometry skip the
+# RPC-bound device-buffer churn. The retention costs HBM after solves
+# return and up to 64 MB of sha256 hashing per implicit call; set to 0 on
+# HBM-constrained devices to disable (clear_prepared_cache() drops it
+# manually).
+PREPARED_CACHE = _env_int("RAYSTRACK_TPU_PREPARED_CACHE", 1, minimum=0)
+
 # Distance-gate SMEM capacity, in gate BOXES (the AABB/order tables live in
 # scalar memory; 2048 boxes = ~128 KB of SMEM tables, measured fine on
 # v5e). Scenes whose tile count exceeds this are gated at GROUP granularity

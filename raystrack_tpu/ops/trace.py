@@ -734,7 +734,7 @@ def scheduled_trace_pallas(
     from ..config import RAYGEN_ONEHOT_MAX_FACES
 
     if f_max <= RAYGEN_ONEHOT_MAX_FACES:
-        # Dense small-F formulation, bitwise-identical to the gather path
+        # Dense small-F formulation, value-identical to the gather path
         # and ~10x faster (TPU scalar gathers serialize; searchsorted
         # lowers to a per-ray binary-search gather chain):
         # - CDF pick by compare-sum: searchsorted(cdf, q, "left") is by
@@ -742,7 +742,10 @@ def scheduled_trace_pallas(
         # - Geometry fetch as a one-hot batched matmul: exactly one operand
         #   row per ray is nonzero, and Precision.HIGHEST's f32 emulation
         #   reproduces 1.0 * v exactly (the bf16 triple-split of v sums
-        #   back to v), so the selected values are the f32 originals.
+        #   back to v) — with one caveat: a -0.0 geometry value returns as
+        #   +0.0 (1.0 * -0.0 summed with +0.0 zero terms is +0.0 in IEEE).
+        #   No downstream comparison observes the sign of zero, so counts
+        #   and results still match the gather path exactly.
         tri = jnp.clip(
             jnp.sum(cdf_b[:, None, :] < q_tri[:, :, None], axis=2,
                     dtype=jnp.int32),

@@ -9,12 +9,17 @@ the intersection predicates as (B,1)x(1,T) broadcast multiply-adds (exact
 f32 on the VPU — no MXU, no bf16 rounding), then folds a masked min over the
 tile into the running nearest-hit carry.
 
-Layout choices (all transpose-free):
-- rays   (N, 9)  -> block (B, 9): ray components are (B, 1) columns
+Layout choices (HBM-compact; one in-kernel relayout):
+- rays   (16, N) f32 [o | d | o x d | pad]: 16 sublanes x N lanes tiles
+  waste-free, where the former (N, 16) store lane-padded 16 -> 128 (8x HBM
+  memory and write+read traffic — 2.1 GB of temp at the 4.2M-ray round
+  budget). The kernel block is (16, B); one swapaxes relayouts it to
+  (B, 16) so ray components stay (B, 1) columns for the sweep math.
 - tris   (24, Tpad), VMEM-resident: operand rows are (1, T) slices
   rows: 0-2 cross_e, 3-5 e1, 6-8 e2, 9-11 v0 x e2, 12-14 v0 x e1,
         15 d0 = v0.cross_e, 16 code_base = 2*sid, 17 mask_any, 18 mask_mat
-- outputs (N, 1) i32 hit code / any-hit flag: block (B, 1)
+- outputs (n_blocks, B) i32 hit code / any-hit flag: 8-row blocks revisited
+  by 8 consecutive grid steps (an (N, 1) output lane-pads 1 -> 128, 128x)
 
 Per-pair math and epsilons are identical to ops/trace.py (|det| >= 1e-7,
 t > 1e-6, front = det > 0); ray-validity masking of padded rays and the

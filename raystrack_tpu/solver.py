@@ -200,7 +200,9 @@ def _ensure_prepared(meshes: List[Mesh], prepared: Optional[PreparedSolver]) -> 
         if not isinstance(prepared, PreparedSolver):
             raise TypeError("prepared must be a PreparedSolver instance")
         return prepared
-    key = _meshes_fingerprint(meshes)
+    from .config import PREPARED_CACHE
+
+    key = _meshes_fingerprint(meshes) if PREPARED_CACHE else None
     if key is None:
         return PreparedSolver(meshes)
     solver = _PREPARED_LRU.pop(key, None)
@@ -824,15 +826,15 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         dropped = [e for e in pending if not fits(e)]
         if dropped:
             pending = [e for e in pending if fits(e)]
-            if mesh is None:
-                # these entries run pipelined, where the scheduled-regime
-                # kernel override no longer applies — re-resolve for them
-                k2, i2 = _resolve_kernel(
-                    pack_dev, mesh, prepared_solver.total_faces,
-                    scheduled=False,
-                )
-                for e in dropped:
-                    e["run"].kernel, e["run"].interpret = k2, i2
+            # these entries run pipelined (sharded over the mesh when one
+            # is given), where the scheduled-regime kernel override no
+            # longer applies — re-resolve for them
+            k2, i2 = _resolve_kernel(
+                pack_dev, mesh, prepared_solver.total_faces,
+                scheduled=False,
+            )
+            for e in dropped:
+                e["run"].kernel, e["run"].interpret = k2, i2
     while pending:
         rows: List[List[int]] = []
         cp_list: List[np.ndarray] = []
@@ -1347,9 +1349,22 @@ class _CheckpointStore:
         # geometry content, not just shape: edited vertices must invalidate
         hash_meshes(hasher, meshes)
         self.fingerprint = hasher.hexdigest()[:16]
+        self._mismatch_logged = False
 
     def _path(self, idx: int):
         return self.dir / f"emitter_{idx:05d}.json"
+
+    def _note_mismatch(self, path) -> None:
+        # A stale fingerprint silently re-solves from zero (params, mesh
+        # content, or the fingerprint stream itself changed); say so ONCE
+        # per store so a long resumed solve's restart isn't a mystery.
+        if not self._mismatch_logged:
+            self._mismatch_logged = True
+            _emit_log(
+                f"checkpoint dir {self.dir} holds entries with a different "
+                "config/geometry fingerprint; ignoring them and re-solving "
+                f"(first: {path.name})"
+            )
 
     def load(self, idx: int):
         path = self._path(idx)
@@ -1360,16 +1375,20 @@ class _CheckpointStore:
         except Exception:
             return None
         if data.get("fingerprint") != self.fingerprint:
+            self._note_mismatch(path)
             return None
         return data
 
-    def save(self, idx: int, name: str, row, backfill, stats) -> None:
+    def save(self, idx: int, name: str, row, backfill, stats, **extra) -> None:
+        """``extra`` lands as additional top-level keys (e.g. the shared-ray
+        workflow's ``sky=`` row); ``stats`` is reserved for stderr dicts."""
         payload = {
             "fingerprint": self.fingerprint,
             "emitter": name,
             "row": row,
             "backfill": backfill,
             "stats": stats,
+            **extra,
         }
         self._write(self._path(idx), payload)
         self.clear_progress(idx)
@@ -1398,6 +1417,7 @@ class _CheckpointStore:
         except Exception:
             return None
         if data.get("fingerprint") != self.fingerprint:
+            self._note_mismatch(path)
             return None
         return data
 
@@ -1873,7 +1893,8 @@ def view_factor_matrix_and_sky(
     prepared: Optional[PreparedSolver] = None,
     mesh=None,
     checkpoint_dir: Optional[str] = None,
-) -> Tuple[VFDict, VFDict]:
+    return_stats: bool = False,
+):
     """Compute the scene matrix and sky VF from one shared set of rays.
 
     Per emitter/iteration one ray set is traced once; scene hits feed the
@@ -1881,11 +1902,23 @@ def view_factor_matrix_and_sky(
     convergence are independent — when one side finishes, tracing continues
     with the cheaper single-output kernel using the same iteration stream.
 
+    With ``return_stats=True`` also returns ``{emitter: {key: stderr}}``
+    covering BOTH outputs in one row — receiver keys (``name_front`` /
+    ``name_back``) carry the matrix estimate's standard error and sky keys
+    (``Sky`` / ``Sky_Patch_i``) the sky fraction's, matching
+    :func:`view_factor_matrix` and :func:`view_factor_to_tregenza_sky`
+    (the key namespaces never collide). Emitters restored from
+    ``checkpoint_dir`` report whatever stats their checkpoint recorded
+    (``{}`` for checkpoints from older versions).
+
     ``checkpoint_dir`` makes long solves resumable like
     :func:`view_factor_matrix`: each emitter's converged matrix row,
     reciprocity back-fill and sky row are written atomically the moment both
     outputs finish, keyed by a fingerprint of BOTH parameter sets and the
     geometry, and a restarted solve replays completed emitters from disk.
+    The sky row is stored under its own ``sky`` key; checkpoints written by
+    older versions (which parked it in the ``stats`` slot) are migrated on
+    load, so existing checkpoint directories resume without re-solving.
     """
     if not isinstance(matrix_params, MatrixParams):
         raise TypeError("matrix_params must be a MatrixParams instance")
@@ -1928,6 +1961,7 @@ def view_factor_matrix_and_sky(
     vf_scene: VFDict = {name: {} for name, _, _ in meshes}
     sky_keys = [f"Sky_Patch_{i}" for i in range(1, 146)] if discrete else ["Sky"]
     sky_vf: VFDict = {name: {k: 0.0 for k in sky_keys} for name, _, _ in meshes}
+    stats_result: VFDict = {}
 
     n_surf = len(meshes)
     n_restored = 0
@@ -1939,7 +1973,13 @@ def view_factor_matrix_and_sky(
                 vf_scene[name_e].update(saved["row"])
                 for other, back_entries in saved.get("backfill", {}).items():
                     vf_scene[other].update(back_entries)
-                sky_vf[name_e].update(saved.get("stats", {}).get("sky", {}))
+                if "sky" in saved:
+                    sky_vf[name_e].update(saved["sky"])
+                    stats_result[name_e] = saved.get("stats", {})
+                else:
+                    # pre-round-4 schema parked the sky row in the stats slot
+                    sky_vf[name_e].update(saved.get("stats", {}).get("sky", {}))
+                    stats_result[name_e] = {}
                 n_restored += 1
                 _emit_log(
                     f"({idx_emit + 1}/{n_surf}) [{name_e}] restored from "
@@ -2011,37 +2051,48 @@ def view_factor_matrix_and_sky(
         idx_emit, name_e = entry["idx"], entry["name"]
         matrix_mon, sky_mon = entry["matrix_mon"], entry["sky_mon"]
         row: Dict[str, float] = {}
+        stats_row: Dict[str, float] = {}
         backfill: Dict[str, Dict[str, float]] = {}
         sky_row: Dict[str, float] = {}
 
         if matrix_mon is not None and matrix_mon.total_rays > 0:
             total = float(matrix_mon.total_rays)
+            se_f = matrix_mon.wf.stderr()
+            se_b = matrix_mon.wb.stderr()
             for j in entry["receivers"]:
                 name_r = meshes[j][0]
                 f = matrix_mon.hits_f[j] / total
                 b = matrix_mon.hits_b[j] / total
                 if f > 0.0:
                     row[f"{name_r}_front"] = f
+                    stats_row[f"{name_r}_front"] = float(se_f[j])
                     if reciprocity and areas is not None and areas[j] > 0.0:
                         backfill.setdefault(name_r, {})[f"{name_e}_front"] = (
                             f * (areas[idx_emit] / areas[j])
                         )
                 if b > 0.0:
                     row[f"{name_r}_back"] = b
+                    stats_row[f"{name_r}_back"] = float(se_b[j])
 
         if sky_mon.total_rays > 0:
             total = float(sky_mon.total_rays)
             if discrete:
                 frac = sky_mon.counts_total.astype(np.float64) / total
+                se = sky_mon.bins_w.stderr()
                 sky_row = {f"Sky_Patch_{i + 1}": float(frac[i]) for i in range(145)}
+                stats_row.update(
+                    {f"Sky_Patch_{i + 1}": float(se[i]) for i in range(145)}
+                )
             else:
                 sky_row = {"Sky": float(sky_mon.upward_total / total)}
+                stats_row["Sky"] = float(sky_mon.sky_w.stderr())
 
         entry["row"] = row
+        entry["stats"] = stats_row
         entry["backfill"] = backfill
         entry["sky_row"] = sky_row
         if store is not None:
-            store.save(idx_emit, name_e, row, backfill, {"sky": sky_row})
+            store.save(idx_emit, name_e, row, backfill, stats_row, sky=sky_row)
 
     t_solve = time.time()
     for entry in entries:
@@ -2084,6 +2135,7 @@ def view_factor_matrix_and_sky(
         for name_r, back_entries in entry["backfill"].items():
             vf_scene[name_r].update(back_entries)
         sky_vf[name_e].update(entry["sky_row"])
+        stats_result[name_e] = entry.get("stats", {})
 
         matrix_iters = matrix_mon.iters_done if matrix_mon is not None else 0
         _emit_log(
@@ -2099,6 +2151,8 @@ def view_factor_matrix_and_sky(
             f"(not re-traced)"
         )
 
+    if return_stats:
+        return vf_scene, sky_vf, stats_result
     return vf_scene, sky_vf
 
 
@@ -2135,18 +2189,22 @@ def _resolve_kernel(
     """
     from .config import KERNEL, PALLAS_MIN_TRIS
 
+    # Under a mesh the "device" argument may be a placement (NamedSharding)
+    # rather than a Device — the mesh's devices carry the platform then.
+    platform = (
+        next(iter(mesh.devices.flat)).platform
+        if mesh is not None
+        else device.platform
+    )
     if KERNEL in ("xla", "pallas"):
         kernel = KERNEL
     else:
         kernel = (
             "pallas"
-            if (
-                device.platform != "cpu"
-                and (scheduled or n_tri >= PALLAS_MIN_TRIS)
-            )
+            if (platform != "cpu" and (scheduled or n_tri >= PALLAS_MIN_TRIS))
             else "xla"
         )
-    interpret = kernel == "pallas" and device.platform == "cpu"
+    interpret = kernel == "pallas" and platform == "cpu"
     return kernel, interpret
 
 

@@ -321,3 +321,60 @@ def test_mid_emitter_progress_invalidated_by_config_change(tmp_path, monkeypatch
     got = view_factor_matrix(MESHES, params=other, checkpoint_dir=ckpt)
     assert got == view_factor_matrix(MESHES, params=other)
     assert not any("resuming from iteration" in l for l in lines)
+
+
+def test_workflow_checkpoint_sky_schema_and_stats(tmp_path, monkeypatch):
+    """Workflow checkpoints store the sky row under its own ``sky`` key (the
+    ``stats`` slot carries real stderr rows), old-schema checkpoints that
+    parked the sky row inside ``stats`` still restore, and
+    ``return_stats=True`` reports one merged stderr row per emitter."""
+    import json
+
+    from raystrack_tpu import SkyParams, view_factor_matrix_and_sky
+
+    mp = MatrixParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                      max_iters=6, min_iters=2, tol=1e-3, reciprocity=True)
+    sp = SkyParams(samples=8, rays=64, seed=4, device="cpu", bvh="off",
+                   max_iters=6, min_iters=2, tol=1e-3)
+    ckpt = tmp_path / "wf_ckpt"
+    vf, sky, stats = view_factor_matrix_and_sky(
+        MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=str(ckpt),
+        return_stats=True,
+    )
+
+    # new schema: sky is a top-level key; stats holds floats for every row
+    # key AND the sky key (namespaces never collide)
+    payload = json.loads((ckpt / "emitter_00000.json").read_text())
+    assert payload["sky"] == sky["ground"]
+    assert set(payload["stats"]) == set(vf["ground"]) | {"Sky"}
+    assert all(isinstance(v, float) for v in payload["stats"].values())
+    for name, _, _ in MESHES:
+        # one merged row per emitter: stderr for every receiver key the
+        # emitter TRACED (back-fill entries landed by other emitters carry
+        # no stderr) plus the sky key
+        traced = set(vf[name]) & set(stats[name])
+        assert set(stats[name]) == traced | {"Sky"}
+        assert stats[name]["Sky"] >= 0.0
+
+    # a resumed solve restores rows, sky AND stats from disk
+    lines = []
+    monkeypatch.setattr(solver_mod, "_log", lines.append)
+    vf2, sky2, stats2 = view_factor_matrix_and_sky(
+        MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=str(ckpt),
+        return_stats=True,
+    )
+    assert (vf2, sky2, stats2) == (vf, sky, stats)
+    assert all("restored from checkpoint" in l for l in lines)
+
+    # old-schema migration: sky row parked in the stats slot, no sky key
+    for p in sorted(ckpt.glob("emitter_*.json")):
+        data = json.loads(p.read_text())
+        old = {k: v for k, v in data.items() if k not in ("sky", "stats")}
+        old["stats"] = {"sky": data["sky"]}
+        p.write_text(json.dumps(old))
+    vf3, sky3, stats3 = view_factor_matrix_and_sky(
+        MESHES, matrix_params=mp, sky_params=sp, checkpoint_dir=str(ckpt),
+        return_stats=True,
+    )
+    assert (vf3, sky3) == (vf, sky)
+    assert all(stats3[name] == {} for name, _, _ in MESHES)  # old ckpts: no stats

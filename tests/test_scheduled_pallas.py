@@ -341,3 +341,46 @@ def test_oversized_emitter_falls_through_to_pipelined(monkeypatch):
     monkeypatch.setattr(S, "scheduled_trace_pallas", spy, raising=False)
     assert view_factor_matrix(meshes, params=params) == base
     assert calls, "scheduled driver did not run for the small emitters"
+
+
+def test_oversized_emitter_rescoped_under_mesh(monkeypatch):
+    """Under a device mesh, emitters dropped from scheduled Pallas rounds
+    must have their kernel re-resolved for the pipelined regime exactly like
+    the non-mesh path (solver._drive_scheduled used to re-resolve only when
+    mesh is None), and the sharded solve must still match the plain one."""
+    import jax
+
+    import raystrack_tpu.solver as S
+    from raystrack_tpu import config
+    from raystrack_tpu.config import RAY_BLOCK
+    from raystrack_tpu.parallel.sharding import ray_mesh
+
+    meshes = [
+        _plate("top_a", 4.0, h=1.0, flip=True),
+        _plate("top_b", 8.0, h=1.0, flip=True),
+        _plate("big", 0.0, h=16.0),
+    ]
+    params = MatrixParams(samples=2, rays=8, seed=3, device="cpu",
+                          bvh="off", max_iters=3, min_iters=2, tol=1e-3,
+                          reciprocity=False)
+    base = view_factor_matrix(meshes, params=params)
+    _force_scheduled_pallas(monkeypatch)
+    # 2-device mesh: align = 2*RAY_BLOCK, so the small plates pad to exactly
+    # the 2-block round budget and the big plate (4 blocks) is over-budget
+    monkeypatch.setattr(config, "SCHED_MIN_BLOCKS", 2)
+    monkeypatch.setattr(config, "TARGET_CHUNK_RAYS", 2 * RAY_BLOCK)
+    mesh = ray_mesh(jax.devices("cpu")[:2])
+
+    calls = []
+    orig = S._resolve_kernel
+
+    def spy(device, m, n_tri=0, *, scheduled=False):
+        calls.append((m is not None, scheduled))
+        return orig(device, m, n_tri, scheduled=scheduled)
+
+    monkeypatch.setattr(S, "_resolve_kernel", spy)
+    got = view_factor_matrix(meshes, params=params, mesh=mesh)
+    assert got == base
+    # the dropped-emitter branch re-resolves for the pipelined regime even
+    # though a mesh is present (the only scheduled=False call in this solve)
+    assert (True, False) in calls, calls

@@ -1,0 +1,213 @@
+#!/usr/bin/env python3
+"""Real-TPU compile smoke: AOT-compile EVERY Pallas kernel variant.
+
+Interpret-mode CI structurally cannot catch Mosaic legalization failures
+(it once masked an i1-vector loop-carry bug that broke every ``want_any``
+Pallas path on hardware — docs/ROADMAP.md round-2 notes). This script
+compiles the full kernel-variant grid on the real chip:
+
+  sweep_rays            x {resident, streamed} x {gate, two-level gate, off}
+                        x {matrix, any, both} x {baked, unbaked}
+  sweep_rays_scheduled  x {resident, streamed} x {gate, two-level, off}
+                        x {matrix, any, both}
+
+via ``jax.jit(...).lower(ShapeDtypeStruct...).compile()`` — no device data,
+no execution — fanned out over a thread pool (remote AOT is RPC-bound, so
+parallel compiles overlap). It then runs three TINY end-to-end solves
+(matrix / shared-ray workflow / discrete sky) with the scheduled Pallas
+driver forced, which executes the raygen + histogram integration paths.
+
+Exit 0 = every variant compiled and the solves ran. Budget: < 2 min warm,
+~5 min on a completely cold cache. Run it (and commit the output) whenever
+a kernel changes; the verify skill lists it as a required step.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+# Force the production drivers into their accelerator regime BEFORE import.
+os.environ.setdefault("RAYSTRACK_TPU_KERNEL", "pallas")
+os.environ.setdefault("RAYSTRACK_TPU_SCHEDULER", "scheduled")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/raystrack_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from raystrack_tpu import config  # noqa: E402
+from raystrack_tpu.ops import trace_pallas as tp  # noqa: E402
+
+F32 = jnp.float32
+I32 = jnp.int32
+S = jax.ShapeDtypeStruct
+
+RAY_BLOCK = config.PALLAS_RAY_BLOCK  # 256 default
+N_RAYS = 2 * RAY_BLOCK
+TRI_TILE = config.PALLAS_TRI_TILE  # 2048 default
+N_TRI = 2 * TRI_TILE  # two tiles: gates and tile loops are real
+N_BOXES = N_TRI // config.ACCEL_GRAIN
+
+# Tracing (lower) reads config.GATE_MAX_TILES, which the two-level-gate
+# variants shrink; serialize the mutate+trace step so pool threads cannot
+# see each other's override. Compiles (the slow, RPC-bound part) overlap.
+_TRACE_LOCK = threading.Lock()
+
+
+def _kernel_cases():
+    """(label, zero-arg compile fn) for every Pallas kernel variant."""
+    rays = S((N_RAYS, 9), F32)
+    pack = S((tp.TRI_ROWS, N_TRI), F32)
+    mask = S((N_TRI,), jnp.bool_)
+    accel = (S((N_BOXES, 3), F32), S((N_BOXES, 3), F32))
+    cases = []
+
+    def single(stream, gate, wm, wa, baked, group):
+        kw = dict(ray_block=RAY_BLOCK, tri_tile=TRI_TILE, want_matrix=wm,
+                  want_any=wa, stream_from_hbm=stream, masks_baked=baked)
+
+        def build():
+            # gate_group > 1 (two-level) needs n_tiles > GATE_MAX_TILES;
+            # shrinking the knob at TRACE time reproduces that kernel shape
+            # without a 4M-triangle smoke scene. Config is only read while
+            # tracing, and each lower() here traces fresh.
+            with _TRACE_LOCK:
+                old = config.GATE_MAX_TILES
+                config.GATE_MAX_TILES = 1 if group > 1 else old
+                try:
+                    fn = jax.jit(lambda r, p, m, a: tp.sweep_rays(
+                        r, p, m, accel=a, **kw))
+                    return fn.lower(rays, pack, mask, accel if gate else None)
+                finally:
+                    config.GATE_MAX_TILES = old
+
+        return build
+
+    def sched(stream, gate, wm, wa, group):
+        n_emit = 3
+        masks = S((n_emit, N_TRI), F32)
+        emap = S((N_RAYS // RAY_BLOCK,), I32)
+        kw = dict(ray_block=RAY_BLOCK, tri_tile=TRI_TILE, want_matrix=wm,
+                  want_any=wa, stream_from_hbm=stream)
+
+        def build():
+            with _TRACE_LOCK:
+                old = config.GATE_MAX_TILES
+                config.GATE_MAX_TILES = 1 if group > 1 else old
+                try:
+                    fn = jax.jit(lambda r, p, m, e, a: tp.sweep_rays_scheduled(
+                        r, p, m, e, accel=a, **kw))
+                    return fn.lower(rays, pack, masks, emap,
+                                    accel if gate else None)
+                finally:
+                    config.GATE_MAX_TILES = old
+
+        return build
+
+    outs = [(True, False), (False, True), (True, True)]
+    for stream in (False, True):
+        for gate, group in ((False, 1), (True, 1), (True, 2)):
+            for wm, wa in outs:
+                for baked in (False, True):
+                    label = (f"sweep[{'hbm' if stream else 'res'},"
+                             f"{'g2' if group > 1 else 'g1' if gate else 'g0'},"
+                             f"{'M' if wm else ''}{'A' if wa else ''},"
+                             f"{'baked' if baked else 'masked'}]")
+                    cases.append((label, single(stream, gate, wm, wa, baked, group)))
+                label = (f"sched[{'hbm' if stream else 'res'},"
+                         f"{'g2' if group > 1 else 'g1' if gate else 'g0'},"
+                         f"{'M' if wm else ''}{'A' if wa else ''}]")
+                cases.append((label, sched(stream, gate, wm, wa, group)))
+    return cases
+
+
+def _compile_one(label, build):
+    t0 = time.monotonic()
+    try:
+        lowered = build()
+        lowered.compile()
+        return label, time.monotonic() - t0, None
+    except Exception as exc:  # noqa: BLE001 - report every failure
+        return label, time.monotonic() - t0, f"{type(exc).__name__}: {exc}"
+
+
+def _tiny_scene():
+    sq = lambda z, flip: (
+        np.array([[-0.5, -0.5, z], [0.5, -0.5, z], [0.5, 0.5, z],
+                  [-0.5, 0.5, z]], np.float32),
+        np.array([[0, 2, 1], [0, 3, 2]] if flip else [[0, 1, 2], [0, 2, 3]],
+                 np.int32),
+    )
+    v0, f0 = sq(0.0, False)
+    v1, f1 = sq(1.0, True)
+    return [("bottom", v0, f0), ("top", v1, f1)]
+
+
+def _end_to_end():
+    """Tiny solves through the real drivers: raygen + histograms + D2H."""
+    from raystrack_tpu import (
+        MatrixParams,
+        SkyParams,
+        view_factor_matrix,
+        view_factor_matrix_and_sky,
+        view_factor_to_tregenza_sky,
+    )
+
+    meshes = _tiny_scene()
+    mp = MatrixParams(samples=4, rays=64, seed=3, min_iters=2, max_iters=4)
+    sp = SkyParams(samples=4, rays=64, seed=3, min_iters=2, max_iters=4,
+                   discrete=True)
+    steps = [
+        ("solve[matrix]", lambda: view_factor_matrix(meshes, params=mp)),
+        ("solve[sky-discrete]",
+         lambda: view_factor_to_tregenza_sky(meshes, params=sp)),
+        ("solve[workflow]",
+         lambda: view_factor_matrix_and_sky(meshes, matrix_params=mp,
+                                            sky_params=sp)),
+    ]
+    results = []
+    for label, fn in steps:
+        t0 = time.monotonic()
+        try:
+            fn()
+            results.append((label, time.monotonic() - t0, None))
+        except Exception as exc:  # noqa: BLE001
+            results.append((label, time.monotonic() - t0,
+                            f"{type(exc).__name__}: {exc}"))
+    return results
+
+
+def main() -> int:
+    t0 = time.monotonic()
+    backend = jax.default_backend()
+    print(f"# backend={backend} device={jax.devices()[0]}", flush=True)
+    if backend != "tpu" and "--allow-cpu" not in sys.argv[1:]:
+        print("FAIL: not a TPU backend (pass --allow-cpu to smoke anyway)")
+        return 2
+
+    cases = _kernel_cases()
+    # Remote AOT is RPC-bound; parallel lowers/compiles overlap the waits.
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(lambda c: _compile_one(*c), cases))
+    results += _end_to_end()
+
+    failures = 0
+    for label, dt, err in results:
+        status = "ok" if err is None else f"FAIL {err}"
+        print(f"{label:<42} {dt:6.1f}s  {status}", flush=True)
+        failures += err is not None
+    total = time.monotonic() - t0
+    print(f"# {len(results)} variants, {failures} failures, {total:.0f}s total",
+          flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
