@@ -150,6 +150,23 @@ RAYGEN_ONEHOT_MAX_FACES = _env_int("RAYSTRACK_TPU_RAYGEN_ONEHOT_MAX_FACES", 128)
 # manually).
 PREPARED_CACHE = _env_int("RAYSTRACK_TPU_PREPARED_CACHE", 1, minimum=0)
 
+# Background AOT warm-up of the scheduled driver's remaining round-size
+# buckets after the first round compiles (accelerators only): a cold solve
+# pays ONE blocking compile instead of one per distinct round size. 0
+# disables (compiles happen in line as rounds are dispatched).
+SCHED_PRECOMPILE = _env_int("RAYSTRACK_TPU_SCHED_PRECOMPILE", 1, minimum=0)
+
+# Scheduled-driver round pipelining: with 1 (default) the driver plans and
+# dispatches convergence round k+1 — from the monitors' projected totals —
+# BEFORE fetching round k's results, so the device (and the per-dispatch
+# RPC on remote-tunnel TPUs) works on round k+1 while the host replays
+# round k. Overshoot iterations of emitters that converge in round k are
+# discarded exactly like speculative chunks; results are bitwise-identical
+# to the sequential schedule (each block's histogram depends only on its
+# own absolute-indexed rays). 0 = sequential (fetch each round before
+# planning the next).
+SCHED_PIPELINE = _env_int("RAYSTRACK_TPU_SCHED_PIPELINE", 1, minimum=0)
+
 # Distance-gate SMEM capacity, in gate BOXES (the AABB/order tables live in
 # scalar memory; 2048 boxes = ~128 KB of SMEM tables, measured fine on
 # v5e). Scenes whose tile count exceeds this are gated at GROUP granularity

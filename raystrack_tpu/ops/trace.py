@@ -815,9 +815,11 @@ def scheduled_trace_pallas(
         o, d, ray_valid = sort_rays_for_coherence(
             o, d, ray_valid, scene_lo=scene_lo, scene_hi=scene_hi
         )
+    # transposed (9, N) store: 16-sublane tiles are waste-free where the
+    # former (N, 9->16) layout lane-padded to 128 (8x round temp memory)
     rays9 = jnp.concatenate(
         [o, d, jnp.cross(o, d)], axis=-1
-    ).reshape(nb * sched_block, 9)
+    ).reshape(nb * sched_block, 9).T
 
     zeros_mask = jnp.zeros_like(scene[7], dtype=bool)
     tri_pack = build_tri_pack(scene, zeros_mask, zeros_mask)
@@ -941,7 +943,8 @@ def chunk_body_pallas(
         o, d, ray_valid = sort_rays_for_coherence(
             o, d, ray_valid, scene_lo=scene_lo, scene_hi=scene_hi
         )
-    rays9 = jnp.concatenate([o, d, jnp.cross(o, d)], axis=-1).reshape(n_total, 9)
+    # transposed (9, N) store — see scheduled_trace_pallas: lane-waste-free
+    rays9 = jnp.concatenate([o, d, jnp.cross(o, d)], axis=-1).reshape(n_total, 9).T
 
     m_any, m_mat = compute_masks(scene, surf_active_ext, emit_sid, min_sid, plane_vec)
     # bake the primary mask into zeroed cross_e rows (det = 0 rejection), so

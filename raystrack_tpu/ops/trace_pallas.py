@@ -114,9 +114,28 @@ def build_tri_pack(scene: Tuple, m_any, m_mat, *, bake=None) -> jnp.ndarray:
 
 
 def _ray_columns(rays_ref):
-    """(B, 1) component columns [o | d | o x d] from a ray block."""
-    col = lambda j: rays_ref[:, j : j + 1]
+    """(B, 1) component columns [o | d | o x d] from a (16, B) ray block.
+
+    One whole-block swapaxes relayouts the transposed store back to
+    ray-major; Mosaic legalizes the (16, B) -> (B, 16) transpose (probed on
+    hardware) and it runs once per block against a tile loop of pair math.
+    """
+    r = jnp.swapaxes(rays_ref[...], 0, 1)  # (B, 16)
+    col = lambda j: r[:, j : j + 1]
     return tuple(col(j) for j in range(9))
+
+
+def _store_results(row, code_ref, any_ref, best_t, best_code, any_hit):
+    """Write one block's (B, 1) results into output row ``row`` (the
+    caller's program_id % 8 — computed OUTSIDE run_scoped bodies, where
+    pl.program_id has no grid context). Outputs are (n_blocks, B) arrays
+    visited in 8-row blocks by 8 consecutive grid steps (Pallas keeps a
+    revisited output block in VMEM and flushes it once the index map moves
+    on); an (N, 1) output would lane-pad 1 -> 128 = 128x HBM memory and
+    traffic."""
+    code = jnp.where(best_t < INF, best_code, -1)
+    code_ref[pl.ds(row, 1), :] = jnp.swapaxes(code, 0, 1)
+    any_ref[pl.ds(row, 1), :] = jnp.swapaxes(any_hit, 0, 1)
 
 
 def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool,
@@ -332,8 +351,7 @@ def _sweep_kernel(
     best_t, best_code, any_hit = jax.lax.fori_loop(
         0, n_loop, guarded_body, _sweep_init(rays[3])
     )
-    code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
-    any_ref[:, :] = any_hit
+    _store_results(order_row, code_ref, any_ref, best_t, best_code, any_hit)
 
 
 def _sweep_kernel_streamed(
@@ -450,8 +468,7 @@ def _sweep_kernel_streamed(
             carry = state[:3]
 
         best_t, best_code, any_hit = carry
-        code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
-        any_ref[:, :] = any_hit
+        _store_results(order_row, code_ref, any_ref, best_t, best_code, any_hit)
 
     pl.run_scoped(
         body,
@@ -509,7 +526,8 @@ def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
     aabb = jnp.concatenate(
         [lo.T, hi.T, jnp.zeros((2, n_boxes), jnp.float32)], axis=0
     )
-    cent = jnp.mean(rays[:, :3].reshape(n_blocks, ray_block, 3), axis=1)
+    # rays come in transposed — (16, N): [o | d | o x d | pad] rows
+    cent = jnp.mean(rays[:3].reshape(3, n_blocks, ray_block), axis=2).T
     gap = jnp.maximum(
         jnp.maximum(lo[None, :, :] - cent[:, None, :],
                     cent[:, None, :] - hi[None, :, :]),
@@ -573,8 +591,7 @@ def _sweep_kernel_sched(
         best_t, best_code, any_hit = jax.lax.fori_loop(
             0, n_loop, guarded_body, _sweep_init(rays[3])
         )
-        code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
-        any_ref[:, :] = any_hit
+        _store_results(order_row, code_ref, any_ref, best_t, best_code, any_hit)
 
     pl.run_scoped(
         body,
@@ -694,8 +711,7 @@ def _sweep_kernel_sched_streamed(
             carry = state[:3]
 
         best_t, best_code, any_hit = carry
-        code_ref[:, :] = jnp.where(best_t < INF, best_code, -1)
-        any_ref[:, :] = any_hit
+        _store_results(order_row, code_ref, any_ref, best_t, best_code, any_hit)
 
     pl.run_scoped(
         body,
@@ -707,7 +723,7 @@ def _sweep_kernel_sched_streamed(
 
 
 def sweep_rays_scheduled(
-    rays: jnp.ndarray,  # (N, 9) f32: [o | d | o x d], N = n_blocks*ray_block
+    rays: jnp.ndarray,  # (9, N) f32: [o | d | o x d] ROWS, N = n_blocks*ray_block
     tri_pack: jnp.ndarray,  # (24, Tpad) f32 (mask rows unused here)
     masks: jnp.ndarray,  # (E, Tpad) f32 combined rows: m_any + m_mat in {0,1,2}
     emap: jnp.ndarray,  # (n_blocks,) i32: grid block -> emitter row
@@ -729,7 +745,7 @@ def sweep_rays_scheduled(
     single-emitter kernels on the same rays."""
     from ..config import PALLAS_MAX_TRIS
 
-    n = rays.shape[0]
+    n = rays.shape[1]
     n_tri_pad = tri_pack.shape[1]
     tile = sweep_tile_width(n_tri_pad, tri_tile)
     n_blocks = n // ray_block
@@ -795,12 +811,15 @@ def sweep_rays_scheduled(
     smem = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
     )
+    out_block = pl.BlockSpec(
+        (8, ray_block), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
+    )
     codes, any_hit = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(
-                (ray_block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (16, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             tris_spec,
             smem((1, n_blocks)),
@@ -813,19 +832,14 @@ def sweep_rays_scheduled(
                 memory_space=pltpu.SMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_block, out_block],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, ray_block), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, ray_block), jnp.int32),
         ],
         interpret=interpret,
     )(
-        jnp.pad(rays, ((0, 0), (0, 16 - rays.shape[1]))),
+        jnp.pad(rays, ((0, 16 - rays.shape[0]), (0, 0))),
         tri_pack,
         emap.astype(jnp.int32)[None, :],
         # rank-3 (E, 1, Tpad): leading dims are untiled, so a scalar-indexed
@@ -835,11 +849,11 @@ def sweep_rays_scheduled(
         aabb,
         order,
     )
-    return codes[:, 0], any_hit[:, 0]
+    return codes.reshape(-1), any_hit.reshape(-1)
 
 
 def sweep_rays(
-    rays: jnp.ndarray,  # (N, 9) f32: [o | d | o x d]
+    rays: jnp.ndarray,  # (9, N) f32: [o | d | o x d] ROWS
     tri_pack: jnp.ndarray,  # (24, Tpad) f32
     sweep_mask: jnp.ndarray,  # (Tpad,) bool: triangles this sweep may touch
     *,
@@ -872,7 +886,7 @@ def sweep_rays(
     """
     from ..config import PALLAS_MAX_TRIS
 
-    n = rays.shape[0]
+    n = rays.shape[1]
     n_tri_pad = tri_pack.shape[1]
     tile = sweep_tile_width(n_tri_pad, tri_tile)
     n_blocks = n // ray_block
@@ -946,12 +960,15 @@ def sweep_rays(
         )
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out_block = pl.BlockSpec(
+        (8, ray_block), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
+    )
     codes, any_hit = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (ray_block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (16, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             tris_spec,
             smem((1, int(tiles_on.shape[0]))),
@@ -965,23 +982,20 @@ def sweep_rays(
                 memory_space=pltpu.SMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec((ray_block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_block, out_block],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, ray_block), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, ray_block), jnp.int32),
         ],
         interpret=interpret,
     )(
-        jnp.pad(rays, ((0, 0), (0, 16 - rays.shape[1]))),
+        jnp.pad(rays, ((0, 16 - rays.shape[0]), (0, 0))),
         tri_pack,
         tiles_on[None, :],
         aabb,
         order,
     )
-    return codes[:, 0], any_hit[:, 0]
+    return codes.reshape(-1), any_hit.reshape(-1)
 
 
 __all__ = [

@@ -472,12 +472,17 @@ class _EmitterRun:
         else:
             from .ops.trace import trace_chunk
 
-            out = trace_chunk(
+            args = (
                 scene_t, tables_t, geom_t, cp,
                 self.surf_active_ext, self.emit_sid, self.min_sid,
                 self.n_rays_once, em.plane_vec, scene.accel,
-                kernel=self.kernel, interpret=self.interpret, **kwargs,
             )
+            kw = dict(kernel=self.kernel, interpret=self.interpret, **kwargs)
+            out = trace_chunk(*args, **kw)
+            if self.device.platform != "cpu":
+                _maybe_precompile_chunks(
+                    trace_chunk, args, kw, chunk, em.n_rays_pad
+                )
         return out
 
 
@@ -682,6 +687,125 @@ def _make_emitter_pack(prepared_solver, idx_emit, p, flip_faces, align,
     )
 
 
+def _sched_series(lo: int, hi: int) -> List[int]:
+    """All {2^k, 3*2^(k-1)} bucket values in [lo, hi] — the schedule sizes
+    _sched_size can produce between two bounds."""
+    vals = []
+    v = max(2, lo)
+    # start from the largest power of two <= lo
+    p = 2
+    while p * 2 <= lo:
+        p *= 2
+    v = p
+    while v <= hi:
+        for cand in (v, v * 3 // 2):
+            if lo <= cand <= hi:
+                vals.append(cand)
+        v *= 2
+    return sorted(set(vals))
+
+
+def _background_compile(fn, args, kwargs, variants: List[Dict]) -> None:
+    """Best-effort background AOT of predictable shape variants of ``fn``.
+
+    A cold solve used to pay one BLOCKING remote AOT compile per distinct
+    dispatch shape it wandered through (the round-3 canyon: 5 scheduled
+    programs x ~30 s on a remote-tunnel TPU; a declined-scheduler city
+    solve: one pipelined program per pow4 chunk size). After the first
+    in-line compile of a family, the sibling shapes are known; this lowers
+    and compiles them on daemon threads, concurrently with the solve's own
+    dispatches, populating the same in-process jit cache and the persistent
+    compile cache. Purely a warm-up: failures are swallowed and results
+    discarded. ``variants`` is a list of {positional index: ShapeDtypeStruct}
+    replacements against ``args``.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    def to_sds(x):
+        return (
+            jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") and hasattr(x, "dtype")
+            else x
+        )
+
+    base = jax.tree.map(to_sds, args)
+
+    def compile_one(repl: Dict) -> None:
+        try:
+            a = list(base)
+            for idx, sds in repl.items():
+                a[idx] = sds
+            fn.lower(*a, **kwargs).compile()
+        except Exception:  # noqa: BLE001 - warm-up only, never fail a solve
+            pass
+
+    def run() -> None:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(compile_one, variants))
+
+    threading.Thread(target=run, daemon=True, name="aot-warmup").start()
+
+
+def _sched_precompile(fn, args, kwargs, series: List[int]) -> None:
+    """Warm the scheduled driver's remaining round-size buckets (see
+    :func:`_background_compile`): cp rows track nb, schedule rows are nb."""
+    import jax
+
+    _background_compile(
+        fn, args, kwargs,
+        [
+            {
+                3: jax.ShapeDtypeStruct((max(8, v), 7), np.float32),  # cp
+                9: jax.ShapeDtypeStruct((v, 4), np.int32),  # schedule
+            }
+            for v in series
+        ],
+    )
+
+
+_WARMED_CHUNK_FAMILIES: set = set()
+
+
+def _maybe_precompile_chunks(fn, args, kwargs, chunk: int, rays_per_iter: int) -> None:
+    """Warm the pipelined driver's OTHER pow4 chunk sizes for this dispatch
+    family (scene/emitter shapes + static config). plan_chunk only emits
+    pow4 chunks up to min(ray budget, MAX_CHUNK), so the sibling set is
+    known the moment the first chunk compiles; warming it in the background
+    removes the one-blocking-compile-per-chunk-size cold pattern (e.g. the
+    ex02/ex06 huge scheduler-declined emitters)."""
+    import jax
+
+    from . import config as _cfg
+
+    if not _cfg.SCHED_PRECOMPILE:
+        return
+    cap = min(
+        _cfg.MAX_CHUNK,
+        max(1, _cfg.TARGET_CHUNK_RAYS // max(1, rays_per_iter)),
+    )
+    sizes = [c for c in (1, 4, 16, 64) if c <= cap and c != chunk]
+    if not sizes:
+        return
+    key = (
+        tuple(
+            (tuple(x.shape), str(x.dtype))
+            for x in jax.tree.leaves(args)
+            if hasattr(x, "shape")
+        ),
+        tuple(sorted((k, str(v)) for k, v in kwargs.items())),
+    )
+    if key in _WARMED_CHUNK_FAMILIES:
+        return
+    _WARMED_CHUNK_FAMILIES.add(key)
+    _background_compile(
+        fn, args, kwargs,
+        [{3: jax.ShapeDtypeStruct((c, 7), np.float32)} for c in sizes],
+    )
+
+
 def _pow2_at_least(n: int, lo: int = 128) -> int:
     size = lo
     while size < n:
@@ -733,7 +857,12 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
 
     ``consume(entry, host, start_row, bpi, chunk)`` replays one entry's
     per-iteration aggregates through its monitor(s) and must advance
-    ``entry['run'].itr_next`` to the first unconsumed iteration.
+    ``entry['run'].itr_next`` monotonically (``max`` with the monitors'
+    consumed count — NEVER assign a smaller value: under round pipelining
+    itr_next already covers the next dispatched-but-unconsumed round).
+
+    With ``config.SCHED_PIPELINE`` (default on) round k+1 is planned and
+    dispatched before round k's results are fetched — see the loop below.
 
     With ``mesh`` the round dispatch runs inside ``shard_map``: schedule
     blocks are split across the mesh axis (embarrassingly parallel — each
@@ -790,10 +919,17 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
     def entry_plan(entry, rays_per_iter: int) -> int:
         # exact (non-pow4) chunks: the dispatch shape is the size-bucketed
         # block count, so chunk granularity costs no extra compiles here,
-        # and reaching each checkpoint in ONE round minimizes round-trips
+        # and reaching each checkpoint in ONE round minimizes round-trips.
+        # Under round pipelining itr_next runs one dispatched-but-unconsumed
+        # round ahead of iters_done; planning then measures from the
+        # HYPOTHETICAL position "in-flight round consumed, nothing
+        # converged, projections unmoved" — the round we would run next in
+        # that case. With nothing in flight this is exactly the sequential
+        # plan (h == iters_done).
+        itr_next = entry["run"].itr_next
         return max(
             plan_chunk(
-                m.iters_done,
+                max(m.iters_done, itr_next),
                 min_iters=m.min_iters,
                 interval=m.interval,
                 max_iters=m.max_iters,
@@ -835,7 +971,41 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             )
             for e in dropped:
                 e["run"].kernel, e["run"].interpret = k2, i2
-    while pending:
+    # Compiled-variant economy: each dispatch specializes on THREE shape
+    # axes — the schedule rows (nb), the compacted emitter stack (n_round)
+    # and the CP rows (n_cp). Two are collapsed: n_round is clamped to a
+    # solve-level constant (pending only shrinks, and extra stack rows are
+    # never referenced by the schedule — exact), and n_cp is tied to nb
+    # (every iteration occupies >= 1 schedule row, so nb rows always
+    # suffice; the padded CP upload is smaller than the schedule itself).
+    # nb stays the round's bucketed block count — padding IT to a constant
+    # would add dummy raygen+sweep work to every late round — and the
+    # remaining nb bucket series is AOT-compiled in the background on
+    # accelerators (_sched_precompile), so a cold solve pays one blocking
+    # compile instead of one per distinct round size. The round-3 canyon
+    # measured 5 distinct (nb, n_round, n_cp) programs; with this it
+    # compiles 1 in line.
+    n_round_solve = _sched_size(len(pending) + 1, lo=2)
+    precompiled = {"started": False}
+
+    def maybe_precompile(fn, args, kw, nb0: int) -> None:
+        # fire once, after the first (in-line) compile of the solve: warm
+        # the rest of the nb bucket series in the background. Accelerators
+        # only — CPU-backend compiles are cheap and the threads would steal
+        # test-suite cores.
+        if precompiled["started"]:
+            return
+        precompiled["started"] = True
+        if pack_dev.platform == "cpu" or not _cfg.SCHED_PRECOMPILE:
+            return
+        series = [v for v in _sched_series(128, nb0) if v != nb0]
+        if series:
+            _sched_precompile(fn, args, kw, series)
+
+    def build_round(pending):
+        """Plan the next convergence round over ``pending`` and dispatch it
+        (async). Returns (device output, plan, nb) or None when no entry has
+        plannable work. Advances each planned entry's ``run.itr_next``."""
         rows: List[List[int]] = []
         cp_list: List[np.ndarray] = []
         plan: List[Tuple] = []  # (entry, start_row, bpi, n_iters)
@@ -868,20 +1038,17 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             if len(rows) >= max_blocks:
                 break
         if not plan:
-            for entry in pending:
-                for m in _entry_monitors(entry):
-                    m.done = True
-                _entry_done(entry)
-            break
+            return None
 
-        # compacted, size-bucketed per-round emitter stacks: scheduled_trace
-        # only computes masks for emitters this round references. One extra
-        # all-inactive DUMMY row absorbs schedule padding: its surface mask
-        # is all-zero, so every padding block's tile loop skips everything
-        # (pow2-padding a 1176-row round to 2048 used to re-trace block 0
-        # in 872 blocks — 43% of the dispatch's pair math, now ~free).
+        # compacted per-round emitter stacks: scheduled_trace only computes
+        # masks for emitters this round references. One extra all-inactive
+        # DUMMY row absorbs schedule padding: its surface mask is all-zero,
+        # so every padding block's tile loop skips everything (pow2-padding
+        # a 1176-row round to 2048 used to re-trace block 0 in 872 blocks —
+        # 43% of the dispatch's pair math, now ~free). The stack size is the
+        # solve-level constant (variant economy, see above).
         by_entry = {entry["idx"]: entry for entry, *_ in plan}
-        n_round = _sched_size(len(round_rows) + 1, lo=2)
+        n_round = n_round_solve
         dummy_row = n_round - 1  # zero-initialized: all surfaces inactive
         surf_b = np.zeros((n_round, n_surf + 1), dtype=np.int32)
         emit_b = np.zeros(n_round, dtype=np.int32)
@@ -901,7 +1068,9 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         nb = _sched_size(len(rows))
         if nb % n_dev:  # non-power-of-two meshes: round up to a multiple
             nb = ((nb + n_dev - 1) // n_dev) * n_dev
-        n_cp = _pow2_at_least(len(cp_list), lo=8)
+        # n_cp tied to nb (not a third variant axis): every iteration
+        # occupies at least one schedule row
+        n_cp = max(8, nb)
         schedule = np.zeros((nb, 4), dtype=np.int32)
         schedule[: len(rows)] = np.asarray(rows, dtype=np.int32)
         schedule[len(rows):] = np.asarray(
@@ -913,14 +1082,17 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         # geometry stays the full device-resident stack; the (tiny) per-round
         # compaction gather runs inside the jitted program (``sel``) instead
         # of as 8 separate host-driven device ops per round
+        args = (
+            scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
+            jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
+            jnp.asarray(once_b), jnp.asarray(plane_b),
+            jnp.asarray(schedule), scene_pack.accel, jnp.asarray(sel),
+        )
         if mesh is not None:
             from .parallel.sharding import scheduled_trace_sharded
 
             out = scheduled_trace_sharded(
-                mesh, scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
-                jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
-                jnp.asarray(once_b), jnp.asarray(plane_b),
-                jnp.asarray(schedule), scene_pack.accel, jnp.asarray(sel),
+                mesh, *args,
                 sched_block=RAY_BLOCK,
                 ray_block=pallas_block if use_pallas else RAY_BLOCK,
                 tri_tile=PALLAS_TRI_TILE if use_pallas else scene_pack.tri_tile,
@@ -931,11 +1103,7 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
                 interpret=interpret,
             )
         elif use_pallas:
-            out = scheduled_trace_pallas(
-                scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
-                jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
-                jnp.asarray(once_b), jnp.asarray(plane_b),
-                jnp.asarray(schedule), scene_pack.accel, jnp.asarray(sel),
+            kw = dict(
                 sched_block=RAY_BLOCK,
                 ray_block=pallas_block,
                 tri_tile=PALLAS_TRI_TILE,
@@ -945,12 +1113,10 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
                 interpret=interpret,
                 pack_out=True,
             )
+            out = scheduled_trace_pallas(*args, **kw)
+            maybe_precompile(scheduled_trace_pallas, args, kw, nb)
         else:
-            out = scheduled_trace(
-                scene_t, tables_flat, geom_stacked, jnp.asarray(cp),
-                jnp.asarray(surf_b), jnp.asarray(emit_b), jnp.asarray(min_b),
-                jnp.asarray(once_b), jnp.asarray(plane_b),
-                jnp.asarray(schedule), scene_pack.accel, jnp.asarray(sel),
+            kw = dict(
                 ray_block=RAY_BLOCK,
                 tri_tile=scene_pack.tri_tile,
                 want_matrix=want_matrix,
@@ -958,6 +1124,12 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
                 discrete=discrete,
                 pack_out=True,
             )
+            out = scheduled_trace(*args, **kw)
+            maybe_precompile(scheduled_trace, args, kw, nb)
+        return out, plan, nb
+
+    def consume_round(round_):
+        out, plan, nb = round_
         if mesh is not None:
             host = {k: np.asarray(v) for k, v in out.items()}
         else:
@@ -967,14 +1139,49 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
                 np.asarray(out), nb, n_surf,
                 want_matrix=want_matrix, want_any=want_any, discrete=discrete,
             )
-
         for entry, start_row, bpi, chunk in plan:
             consume(entry, host, start_row, bpi, chunk)
             if not entry_pending(entry):
                 _entry_done(entry)
             else:
                 _entry_progress(entry)
-        pending = [e for e in pending if entry_pending(e)]
+
+    # Round pipeline: with SCHED_PIPELINE, round k+1 is planned (from the
+    # monitors' projected totals, continuing the absolute-indexed iteration
+    # stream) and DISPATCHED before round k's results are fetched, so device
+    # compute and the per-round host RPC overlap the float64 replay. An
+    # emitter that converges in round k simply has its round-k+1 iterations
+    # discarded by the replay — results are bitwise-identical to the
+    # sequential schedule (each block's histogram depends only on its own
+    # rays). The generalization of the reference's multi-stream overlap
+    # (reference: main.py:901-1022) to whole-scene rounds.
+    pipeline = _cfg.SCHED_PIPELINE > 0
+    inflight = None
+    while True:
+        nxt = build_round(pending) if pending else None
+        if nxt is None and inflight is None:
+            if pending:
+                # nothing plannable and nothing in flight: these entries can
+                # never finish (e.g. monitors at max_iters whose replay never
+                # ran) — close them out exactly like the sequential driver
+                for entry in pending:
+                    for m in _entry_monitors(entry):
+                        m.done = True
+                    _entry_done(entry)
+            break
+        if not pipeline and nxt is not None:
+            # sequential mode: fetch each round before planning the next
+            consume_round(nxt)
+            pending = [e for e in pending if entry_pending(e)]
+            continue
+        if inflight is not None:
+            if any(entry_pending(e) for e, *_ in inflight[1]):
+                consume_round(inflight)
+                pending = [e for e in pending if entry_pending(e)]
+            # else: every emitter in the round converged while it was in
+            # flight — pure speculative overshoot, dropped WITHOUT the
+            # blocking fetch (the replay would discard every iteration)
+        inflight = nxt
 
 
 def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
@@ -991,7 +1198,11 @@ def _drive_matrix_scheduled(entries, prepared_solver, p, flip_faces, align,
                 host["counts_f"][r0 : r0 + bpi].sum(axis=0),
                 host["counts_b"][r0 : r0 + bpi].sum(axis=0),
             )
-        entry["run"].itr_next = mon.iters_done
+        # never rewind: under round pipelining itr_next may already cover a
+        # dispatched-but-unconsumed speculative round (sequentially this is
+        # the plain iters_done for pending entries, and done entries'
+        # overshoot is discarded either way)
+        entry["run"].itr_next = max(entry["run"].itr_next, mon.iters_done)
 
     _drive_scheduled(
         entries, prepared_solver, p, flip_faces, align, scene_pack, pack_dev,
@@ -1015,7 +1226,8 @@ def _drive_sky_scheduled(entries, prepared_solver, p, align, scene_pack,
                 if discrete
                 else int(host["upward"][r0 : r0 + bpi].sum())
             )
-        entry["run"].itr_next = mon.iters_done
+        # never rewind (see _drive_matrix_scheduled.consume)
+        entry["run"].itr_next = max(entry["run"].itr_next, mon.iters_done)
 
     _drive_scheduled(
         entries, prepared_solver, p, False, align, scene_pack, pack_dev,
@@ -1058,7 +1270,8 @@ def _drive_combined_scheduled(entries, prepared_solver, p, align, scene_pack,
                     m.iters_done if m is not None else 0,
                     s.iters_done if s is not None else 0,
                 )
-        entry["run"].itr_next = entry["trace_iters"]
+        # never rewind (see _drive_matrix_scheduled.consume)
+        entry["run"].itr_next = max(entry["run"].itr_next, entry["trace_iters"])
 
     _drive_scheduled(
         entries, prepared_solver, p, False, align, scene_pack, pack_dev,

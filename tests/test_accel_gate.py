@@ -126,7 +126,9 @@ def _pallas_sweep(meshes, accel_on, stream, *, want_any=True):
         tables, geom, jnp.asarray(cp)
     )
     n_total = cp.shape[0] * em.n_rays_pad
-    rays9 = jnp.concatenate([o, d, jnp.cross(o, d)], axis=-1).reshape(n_total, 9)
+    rays9 = jnp.concatenate(
+        [o, d, jnp.cross(o, d)], axis=-1
+    ).reshape(n_total, 9).T  # (9, N) transposed store
     m_any, m_mat = compute_masks(
         scene_t, jnp.asarray(ext), jnp.int32(emit_sid), jnp.int32(min_sid)
     )

@@ -148,3 +148,56 @@ def test_invalid_tol_mode():
     with pytest.raises(ValueError):
         SkyMonitor(discrete=False, n_rays_once=10, tol=1e-3, tol_mode="x",
                    min_iters=1, interval=1, max_iters=5)
+
+
+def test_sched_series_buckets():
+    """_sched_series enumerates exactly the {2^k, 3*2^(k-1)} sizes
+    _sched_size can produce between two bounds."""
+    from raystrack_tpu.solver import _sched_series, _sched_size
+
+    got = _sched_series(128, 6144)
+    assert got == [128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
+                   4096, 6144]
+    # every value is a fixed point of _sched_size, and nothing is missing
+    assert all(_sched_size(v) == v for v in got)
+    assert _sched_series(128, 127) == []
+    assert _sched_series(2048, 2048) == [2048]
+
+
+def test_background_compile_lowers_each_variant():
+    """_background_compile lowers+compiles every requested shape variant
+    (plumbing test with a recording stub; real use is accelerator-only)."""
+    import threading
+    import time
+
+    import jax
+    import numpy as np
+
+    from raystrack_tpu.solver import _background_compile
+
+    calls = []
+    done = threading.Event()
+
+    class Stub:
+        def lower(self, *a, **k):
+            calls.append((tuple(x.shape for x in a if hasattr(x, "shape")), k))
+            if len(calls) == 2:
+                done.set()
+
+            class C:
+                def compile(self):
+                    return None
+
+            return C()
+
+    args = (np.zeros((4, 7), np.float32), np.zeros((8, 4), np.int32))
+    variants = [
+        {0: jax.ShapeDtypeStruct((16, 7), np.float32)},
+        {1: jax.ShapeDtypeStruct((32, 4), np.int32)},
+    ]
+    _background_compile(Stub(), args, {"flag": True}, variants)
+    assert done.wait(timeout=30), "background compiles did not run"
+    time.sleep(0.05)
+    shapes = sorted(c[0] for c in calls)
+    assert shapes == [((4, 7), (32, 4)), ((16, 7), (8, 4))]
+    assert all(c[1] == {"flag": True} for c in calls)

@@ -384,3 +384,45 @@ def test_oversized_emitter_rescoped_under_mesh(monkeypatch):
     # the dropped-emitter branch re-resolves for the pipelined regime even
     # though a mesh is present (the only scheduled=False call in this solve)
     assert (True, False) in calls, calls
+
+
+def test_sched_pipeline_matches_sequential_and_overlaps(monkeypatch):
+    """SCHED_PIPELINE=1 (default) must (a) produce dicts identical to the
+    sequential scheduled driver, and (b) actually dispatch round k+1 before
+    fetching round k (two consecutive dispatch events with no fetch between)
+    whenever a solve takes several convergence rounds."""
+    import raystrack_tpu.solver as S
+    from raystrack_tpu import config
+    from raystrack_tpu.ops import trace as T
+
+    meshes = _cloud_scene(560, seed=8)
+    # stderr tolerance the scene cannot reach quickly -> several projected
+    # rounds; max_iters bounds the test's runtime
+    params = MatrixParams(samples=2, rays=32, seed=4, device="cpu",
+                          bvh="builtin", max_iters=12, min_iters=2,
+                          tol=2e-3, tol_mode="stderr", reciprocity=True)
+    _force_scheduled_pallas(monkeypatch)
+
+    monkeypatch.setattr(config, "SCHED_PIPELINE", 0)
+    seq = view_factor_matrix(meshes, params=params)
+
+    events = []
+    orig_dispatch = T.scheduled_trace_pallas
+    orig_fetch = T.unpack_outputs
+
+    def spy_dispatch(*a, **k):
+        events.append("d")
+        return orig_dispatch(*a, **k)
+
+    def spy_fetch(*a, **k):
+        events.append("f")
+        return orig_fetch(*a, **k)
+
+    monkeypatch.setattr(T, "scheduled_trace_pallas", spy_dispatch)
+    monkeypatch.setattr(S, "scheduled_trace_pallas", spy_dispatch,
+                        raising=False)
+    monkeypatch.setattr(T, "unpack_outputs", spy_fetch)
+    monkeypatch.setattr(config, "SCHED_PIPELINE", 1)
+    pipe = view_factor_matrix(meshes, params=params)
+    assert pipe == seq
+    assert "dd" in "".join(events), events  # round k+1 in flight before fetch k

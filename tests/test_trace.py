@@ -353,7 +353,9 @@ def test_pallas_streamed_matches_resident():
     o = rng.uniform(-5, -4, (1024, 3)).astype(np.float32)
     d = rng.normal(size=(1024, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
-    rays9 = jnp.asarray(np.concatenate([o, d, np.cross(o, d)], axis=1).astype(np.float32))
+    rays9 = jnp.asarray(
+        np.concatenate([o, d, np.cross(o, d)], axis=1).astype(np.float32).T
+    )  # (9, N) transposed store
 
     kw = dict(ray_block=512, tri_tile=128, want_matrix=True, want_any=True,
               interpret=True)

@@ -63,7 +63,7 @@ _TRACE_LOCK = threading.Lock()
 
 def _kernel_cases():
     """(label, zero-arg compile fn) for every Pallas kernel variant."""
-    rays = S((N_RAYS, 9), F32)
+    rays = S((9, N_RAYS), F32)  # transposed (9, N) ray store
     pack = S((tp.TRI_ROWS, N_TRI), F32)
     mask = S((N_TRI,), jnp.bool_)
     accel = (S((N_BOXES, 3), F32), S((N_BOXES, 3), F32))
