@@ -426,3 +426,32 @@ def test_sched_pipeline_matches_sequential_and_overlaps(monkeypatch):
     pipe = view_factor_matrix(meshes, params=params)
     assert pipe == seq
     assert "dd" in "".join(events), events  # round k+1 in flight before fetch k
+
+
+def test_sched_pipeline_sky_and_workflow_match(monkeypatch):
+    """Round pipelining must be result-invariant on the sky and shared-ray
+    workflow scheduled drivers too (dual monitors + sky bins exercise the
+    consume paths the matrix test does not)."""
+    from raystrack_tpu import (
+        SkyParams,
+        view_factor_matrix_and_sky,
+        view_factor_to_tregenza_sky,
+    )
+    from raystrack_tpu import config
+
+    meshes = _cloud_scene(560, seed=8)
+    mp = MatrixParams(samples=2, rays=32, seed=4, device="cpu", bvh="builtin",
+                      max_iters=10, min_iters=2, tol=2e-3, tol_mode="stderr")
+    sp = SkyParams(samples=2, rays=32, seed=4, device="cpu", bvh="builtin",
+                   max_iters=10, min_iters=2, tol=2e-3, tol_mode="stderr",
+                   discrete=True)
+    _force_scheduled_pallas(monkeypatch)
+
+    monkeypatch.setattr(config, "SCHED_PIPELINE", 0)
+    sky_seq = view_factor_to_tregenza_sky(meshes, params=sp)
+    wf_seq = view_factor_matrix_and_sky(meshes, matrix_params=mp, sky_params=sp)
+    monkeypatch.setattr(config, "SCHED_PIPELINE", 1)
+    assert view_factor_to_tregenza_sky(meshes, params=sp) == sky_seq
+    assert view_factor_matrix_and_sky(
+        meshes, matrix_params=mp, sky_params=sp
+    ) == wf_seq
