@@ -57,7 +57,8 @@ def view_factor_outside_workflow(
     prepared: Optional[PreparedSolver] = None,
     mesh=None,
     checkpoint_dir: Optional[str] = None,
-) -> Tuple[VFDict, VFDict, VFDict]:
+    return_stats: bool = False,
+):
     """Compute scene VF matrix, sky VF and the residual fraction per emitter.
 
     Returns ``(vf_scene, sky_vf, rest_vf)`` with ``scene + sky + rest = 1``
@@ -66,6 +67,12 @@ def view_factor_outside_workflow(
     (scene hits -> matrix, misses -> sky bins); otherwise the two solvers run
     separately. Sky totals are clamped so scene+sky never exceeds 1 beyond a
     1e-6 threshold, before and after optional reciprocity enforcement.
+
+    With ``return_stats=True`` a fourth element is returned — the solvers'
+    merged ``{emitter: {key: stderr}}`` rows (receiver keys + sky keys, the
+    same contract as the three underlying solvers). Stats describe the RAW
+    converged estimates: clamping/enforcement rescale values, not their
+    sampling stderr.
 
     ``checkpoint_dir`` makes the solve resumable per emitter: the shared-ray
     path checkpoints each emitter's matrix+sky outputs together; the
@@ -88,30 +95,36 @@ def view_factor_outside_workflow(
     matrix_defaults = MatrixParams(**matrix_params.as_dict())
     matrix_defaults.enforce_reciprocity_rowsum = False
 
+    stats: VFDict = {}
     if outside_workflow_shareable(matrix_defaults, sky_params):
-        vf_scene, sky_vf = view_factor_matrix_and_sky(
+        vf_scene, sky_vf, stats = view_factor_matrix_and_sky(
             meshes,
             matrix_params=matrix_defaults,
             sky_params=sky_params,
             prepared=prepared,
             mesh=mesh,
             checkpoint_dir=checkpoint_dir,
+            return_stats=True,
         )
     else:
         import os
 
-        vf_scene = view_factor_matrix(
+        vf_scene, m_stats = view_factor_matrix(
             meshes, params=matrix_defaults, prepared=prepared, mesh=mesh,
             checkpoint_dir=(
                 os.path.join(checkpoint_dir, "matrix") if checkpoint_dir else None
             ),
+            return_stats=True,
         )
-        sky_vf = view_factor_to_tregenza_sky(
+        sky_vf, s_stats = view_factor_to_tregenza_sky(
             meshes, params=sky_params, prepared=prepared, mesh=mesh,
             checkpoint_dir=(
                 os.path.join(checkpoint_dir, "sky") if checkpoint_dir else None
             ),
+            return_stats=True,
         )
+        for name, _, _ in meshes:
+            stats[name] = {**m_stats.get(name, {}), **s_stats.get(name, {})}
 
     mesh_names = [name for name, _, _ in meshes]
 
@@ -162,6 +175,8 @@ def view_factor_outside_workflow(
             residual = 0.0
         rest_vf[emitter] = {"Rest": residual}
 
+    if return_stats:
+        return vf_scene, sky_vf, rest_vf, stats
     return vf_scene, sky_vf, rest_vf
 
 

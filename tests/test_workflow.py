@@ -142,3 +142,41 @@ def test_combined_independent_convergence(monkeypatch):
         assert sky_iters == 2, (name, stats[name])     # loose tol: stops at min
         assert scene_iters == 10, (name, stats[name])  # tight tol: runs to max
         assert traced == 10
+
+
+def test_outside_workflow_return_stats():
+    """The top-level workflow forwards merged stderr rows from whichever
+    solver path ran (shared-ray AND the separate-solver fallback)."""
+    from raystrack_tpu import (MatrixParams, SkyParams,
+                               view_factor_outside_workflow)
+
+    import numpy as np
+
+    def square(name, z, flip):
+        V = np.array([[-0.5, -0.5, z], [0.5, -0.5, z], [0.5, 0.5, z],
+                      [-0.5, 0.5, z]], np.float32)
+        F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        if flip:
+            F = F[:, [0, 2, 1]].copy()
+        return name, V, F
+
+    meshes = [square("bottom", 0.0, False), square("top", 0.8, True)]
+    mp = MatrixParams(samples=4, rays=64, seed=3, device="cpu", bvh="off",
+                      max_iters=4, min_iters=2, tol=1e-3)
+    sp = SkyParams(samples=4, rays=64, seed=3, device="cpu", bvh="off",
+                   max_iters=4, min_iters=2, tol=1e-3)
+    # shared path
+    out = view_factor_outside_workflow(
+        meshes, matrix_params=mp, sky_params=sp, return_stats=True)
+    assert len(out) == 4
+    vf, sky, rest, stats = out
+    assert set(stats) == {"bottom", "top"}
+    assert "Sky" in stats["bottom"]
+    # separate-solver fallback (different sampling): stats merge both solvers
+    sp2 = SkyParams(**{**sp.as_dict(), "samples": 8})
+    vf2, sky2, rest2, stats2 = view_factor_outside_workflow(
+        meshes, matrix_params=mp, sky_params=sp2, return_stats=True)
+    assert "Sky" in stats2["bottom"]
+    # 3-tuple contract unchanged without the flag
+    assert len(view_factor_outside_workflow(
+        meshes, matrix_params=mp, sky_params=sp)) == 3
