@@ -789,10 +789,12 @@ def _maybe_precompile_chunks(fn, args, kwargs, chunk: int, rays_per_iter: int) -
     sizes = [c for c in (1, 4, 16, 64) if c <= cap and c != chunk]
     if not sizes:
         return
+    # key on every leaf shape EXCEPT cp (args[3]) — the family is the same
+    # whichever chunk size happened to compile first
     key = (
         tuple(
             (tuple(x.shape), str(x.dtype))
-            for x in jax.tree.leaves(args)
+            for x in jax.tree.leaves((args[:3], args[4:]))
             if hasattr(x, "shape")
         ),
         tuple(sorted((k, str(v)) for k, v in kwargs.items())),
