@@ -49,8 +49,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/raystrack_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Use the SAME persistent compile cache as the solvers' default
+# (~/.cache/raystrack_tpu/jax) so bench runs, tpu_smoke runs and real
+# solves all warm each other — a private /tmp cache here used to mean the
+# bench recompiled variants another process had already built.
+from raystrack_tpu.solver import _ensure_compile_cache  # noqa: E402
+
+_ensure_compile_cache()
 
 from raystrack_tpu.config import PALLAS_RAY_BLOCK, PALLAS_TRI_TILE  # noqa: E402
 from raystrack_tpu.ops.trace import trace_chunk  # noqa: E402

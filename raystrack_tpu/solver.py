@@ -691,12 +691,10 @@ def _sched_series(lo: int, hi: int) -> List[int]:
     """All {2^k, 3*2^(k-1)} bucket values in [lo, hi] — the schedule sizes
     _sched_size can produce between two bounds."""
     vals = []
-    v = max(2, lo)
     # start from the largest power of two <= lo
-    p = 2
-    while p * 2 <= lo:
-        p *= 2
-    v = p
+    v = 2
+    while v * 2 <= lo:
+        v *= 2
     while v <= hi:
         for cand in (v, v * 3 // 2):
             if lo <= cand <= hi:
@@ -766,7 +764,12 @@ def _sched_precompile(fn, args, kwargs, series: List[int]) -> None:
     )
 
 
+# Bounded guard set: one entry per dispatch family ever warmed. Clearing on
+# overflow merely re-warms (cache hits make that cheap); note this set does
+# NOT observe jax.clear_caches(), so a cleared jit cache re-warms only after
+# 256 further families.
 _WARMED_CHUNK_FAMILIES: set = set()
+_WARMED_CHUNK_FAMILIES_MAX = 256
 
 
 def _maybe_precompile_chunks(fn, args, kwargs, chunk: int, rays_per_iter: int) -> None:
@@ -801,6 +804,8 @@ def _maybe_precompile_chunks(fn, args, kwargs, chunk: int, rays_per_iter: int) -
     )
     if key in _WARMED_CHUNK_FAMILIES:
         return
+    if len(_WARMED_CHUNK_FAMILIES) >= _WARMED_CHUNK_FAMILIES_MAX:
+        _WARMED_CHUNK_FAMILIES.clear()
     _WARMED_CHUNK_FAMILIES.add(key)
     _background_compile(
         fn, args, kwargs,
@@ -992,15 +997,19 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
 
     def maybe_precompile(fn, args, kw, nb0: int) -> None:
         # fire once, after the first (in-line) compile of the solve: warm
-        # the rest of the nb bucket series in the background. Accelerators
-        # only — CPU-backend compiles are cheap and the threads would steal
-        # test-suite cores.
+        # the WHOLE nb bucket series up to the round budget (later rounds
+        # are often LARGER than round 0 — projection-sized chunks follow
+        # the small min_iters checkpoint round — so warming only below nb0
+        # would leave exactly those blocking compiles in place).
+        # Accelerators only — CPU-backend compiles are cheap and the
+        # threads would steal test-suite cores.
         if precompiled["started"]:
             return
         precompiled["started"] = True
         if pack_dev.platform == "cpu" or not _cfg.SCHED_PRECOMPILE:
             return
-        series = [v for v in _sched_series(128, nb0) if v != nb0]
+        hi = max(nb0, _sched_size(max_blocks))
+        series = [v for v in _sched_series(128, hi) if v != nb0]
         if series:
             _sched_precompile(fn, args, kw, series)
 
@@ -2190,7 +2199,14 @@ def view_factor_matrix_and_sky(
                     vf_scene[other].update(back_entries)
                 if "sky" in saved:
                     sky_vf[name_e].update(saved["sky"])
-                    stats_result[name_e] = saved.get("stats", {})
+                    # the stats slot carries a legacy "sky" duplicate so
+                    # pre-round-4 readers can still restore the sky row
+                    # from these files; strip it from the stderr dict
+                    stats_result[name_e] = {
+                        k: v
+                        for k, v in saved.get("stats", {}).items()
+                        if k != "sky"
+                    }
                 else:
                     # pre-round-4 schema parked the sky row in the stats slot
                     sky_vf[name_e].update(saved.get("stats", {}).get("sky", {}))
@@ -2307,7 +2323,13 @@ def view_factor_matrix_and_sky(
         entry["backfill"] = backfill
         entry["sky_row"] = sky_row
         if store is not None:
-            store.save(idx_emit, name_e, row, backfill, stats_row, sky=sky_row)
+            # top-level "sky" is the schema; the duplicate inside stats
+            # keeps the file readable by pre-round-4 builds (their restore
+            # reads stats["sky"]) — same fingerprint, both directions work
+            store.save(
+                idx_emit, name_e, row, backfill,
+                {**stats_row, "sky": sky_row}, sky=sky_row,
+            )
 
     t_solve = time.time()
     for entry in entries:

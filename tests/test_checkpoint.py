@@ -343,11 +343,14 @@ def test_workflow_checkpoint_sky_schema_and_stats(tmp_path, monkeypatch):
     )
 
     # new schema: sky is a top-level key; stats holds floats for every row
-    # key AND the sky key (namespaces never collide)
+    # key AND the sky key, plus a legacy "sky" duplicate so PRE-round-4
+    # readers (which restore stats["sky"]) still resume these files
     payload = json.loads((ckpt / "emitter_00000.json").read_text())
     assert payload["sky"] == sky["ground"]
-    assert set(payload["stats"]) == set(vf["ground"]) | {"Sky"}
-    assert all(isinstance(v, float) for v in payload["stats"].values())
+    assert payload["stats"]["sky"] == sky["ground"]
+    assert set(payload["stats"]) == set(vf["ground"]) | {"Sky", "sky"}
+    assert all(isinstance(v, float) for k, v in payload["stats"].items()
+               if k != "sky")
     for name, _, _ in MESHES:
         # one merged row per emitter: stderr for every receiver key the
         # emitter TRACED (back-fill entries landed by other emitters carry

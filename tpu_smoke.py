@@ -39,8 +39,11 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/raystrack_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# share the solvers' default persistent cache so this smoke's AOT work
+# warms bench.py and real solves (a private cache dir would warm nothing)
+from raystrack_tpu.solver import _ensure_compile_cache  # noqa: E402
+
+_ensure_compile_cache()
 
 from raystrack_tpu import config  # noqa: E402
 from raystrack_tpu.ops import trace_pallas as tp  # noqa: E402
