@@ -39,6 +39,11 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+if "--allow-cpu" in sys.argv[1:]:
+    # plumbing checks off-TPU: the config API is authoritative (the axon
+    # plugin registers even when JAX_PLATFORMS=cpu is exported)
+    jax.config.update("jax_platforms", "cpu")
+
 # share the solvers' default persistent cache so this smoke's AOT work
 # warms bench.py and real solves (a private cache dir would warm nothing)
 from raystrack_tpu.solver import _ensure_compile_cache  # noqa: E402
@@ -72,9 +77,12 @@ def _kernel_cases():
     accel = (S((N_BOXES, 3), F32), S((N_BOXES, 3), F32))
     cases = []
 
+    interp = "--interpret" in sys.argv[1:]  # CPU plumbing check only
+
     def single(stream, gate, wm, wa, baked, group):
         kw = dict(ray_block=RAY_BLOCK, tri_tile=TRI_TILE, want_matrix=wm,
-                  want_any=wa, stream_from_hbm=stream, masks_baked=baked)
+                  want_any=wa, stream_from_hbm=stream, masks_baked=baked,
+                  interpret=interp)
 
         def build():
             # gate_group > 1 (two-level) needs n_tiles > GATE_MAX_TILES;
@@ -98,7 +106,7 @@ def _kernel_cases():
         masks = S((n_emit, N_TRI), F32)
         emap = S((N_RAYS // RAY_BLOCK,), I32)
         kw = dict(ray_block=RAY_BLOCK, tri_tile=TRI_TILE, want_matrix=wm,
-                  want_any=wa, stream_from_hbm=stream)
+                  want_any=wa, stream_from_hbm=stream, interpret=interp)
 
         def build():
             with _TRACE_LOCK:
