@@ -402,8 +402,38 @@ def _stage(name: str, est_cold_s: float, fn, default=None):
     return out
 
 
+def _await_backend() -> None:
+    """Bounded backend init: a dead remote-TPU tunnel makes jax.devices()
+    HANG (not raise), which would burn the harness's whole timeout with
+    zero output (that's how round 3 lost its artifact). Initialize on a
+    daemon thread and abort fast & loud if the device never appears."""
+    import threading
+
+    ready = threading.Event()
+    err: list = []
+
+    def init():
+        try:
+            jax.devices()
+            ready.set()
+        except Exception as exc:  # pragma: no cover - environment dependent
+            err.append(exc)
+            ready.set()
+
+    threading.Thread(target=init, daemon=True).start()
+    budget = float(os.environ.get("RAYSTRACK_TPU_BENCH_INIT_TIMEOUT_S", "300"))
+    if not ready.wait(timeout=budget):
+        _note(f"backend init did not complete within {budget:.0f}s "
+              "(dead device tunnel?) — aborting fast")
+        raise SystemExit(3)
+    if err:
+        _note(f"backend init failed: {type(err[0]).__name__}: {err[0]}")
+        raise SystemExit(3)
+
+
 def main():
     calibrate = "--calibrate" in sys.argv[1:]
+    _await_backend()
     t0 = time.monotonic()
     tests_per_sec, rays_per_sec, n_tri_pad, em = _headline()
     _note(f"headline: {time.monotonic() - t0:.1f}s (incl. import+compile)")
