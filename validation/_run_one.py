@@ -1,11 +1,15 @@
 """Run one validation case with the persistent compile cache enabled."""
 import importlib
 import sys
+from pathlib import Path
 
-import jax
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/raystrack_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# the solvers' default persistent cache (~/.cache/raystrack_tpu/jax), shared
+# with bench.py and tpu_smoke.py so each run warms the others
+from raystrack_tpu.solver import _ensure_compile_cache  # noqa: E402
+
+_ensure_compile_cache()
 
 mod = importlib.import_module(sys.argv[1])
 mod.main()
