@@ -503,3 +503,43 @@ def test_vertical_and_flipped_emitters_against_oracle():
         for sid in (1, 2):
             assert abs(got_f[sid] - int(((hit_sid == sid) & front).sum())) <= tol
             assert abs(got_b[sid] - int(((hit_sid == sid) & ~front).sum())) <= tol
+
+
+def test_pallas_partial_output_block_rows():
+    """Ten 256-ray blocks: the (8, B) revisited output blocks span one full
+    block plus a PARTIAL second (rows 8-9 of a (10, B) array) — the new
+    transposed-layout output path must place every block's codes on its own
+    row with no bleed between grid steps (gated path: no block widening)."""
+    import jax.numpy as jnp
+    from raystrack_tpu.ops.trace import compute_masks
+    from raystrack_tpu.ops.trace_pallas import build_tri_pack, sweep_rays
+
+    rng = np.random.default_rng(7)
+    n_tri = 1024
+    V = rng.uniform(-3, 3, (n_tri * 3, 3)).astype(np.float32)
+    F = np.arange(n_tri * 3, dtype=np.int32).reshape(-1, 3)
+    ps = PreparedSolver([("cloud", V, F)])
+    pk = ps.get_scene_pack(use_accel=True)
+    scene_t = (pk.v0, pk.e1, pk.e2, pk.cross_e, pk.w_u, pk.w_v, pk.d0, pk.sid)
+    ext = jnp.asarray(np.array([1, 0], np.int32))
+    m_any, m_mat = compute_masks(scene_t, ext, jnp.int32(99), jnp.int32(0))
+    tp = build_tri_pack(scene_t, m_any, m_mat)
+
+    n = 10 * 256
+    o = rng.uniform(-5, -4, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays9 = jnp.asarray(
+        np.concatenate([o, d, np.cross(o, d)], axis=1).astype(np.float32).T
+    )
+    kw = dict(ray_block=256, tri_tile=128, want_matrix=True, want_any=True,
+              interpret=True, accel=pk.accel)
+    c10, a10 = sweep_rays(rays9, tp, m_any, **kw)
+    # per-block ground truth: sweep each 256-ray block alone (1 out row)
+    for b in range(10):
+        cb, ab = sweep_rays(rays9[:, b * 256:(b + 1) * 256], tp, m_any, **kw)
+        np.testing.assert_array_equal(np.asarray(c10)[b * 256:(b + 1) * 256],
+                                      np.asarray(cb))
+        np.testing.assert_array_equal(np.asarray(a10)[b * 256:(b + 1) * 256],
+                                      np.asarray(ab))
+    assert int((np.asarray(c10) >= 0).sum()) > 0
