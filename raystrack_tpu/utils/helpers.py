@@ -209,19 +209,23 @@ def enforce_reciprocity_only(
 def hold_console_open(prompt: str = "Press Enter to close...") -> None:
     """Keep an interactive console window open after a script finishes.
 
-    Disabled by setting ``RAYSTRACK_HOLD_CONSOLE`` to ``0``/``false``/``no``,
-    and automatically skipped when stdin is not a TTY.
+    Same env-gated contract as the reference helper (reference:
+    helpers.py:260-275): ``RAYSTRACK_HOLD_CONSOLE=0|false|no`` disables it,
+    and non-interactive runs (no TTY on stdin, or no stdin at all) never
+    block.
     """
-    flag = os.environ.get("RAYSTRACK_HOLD_CONSOLE", "1").lower()
-    if flag in {"0", "false", "no"}:
+    if os.environ.get("RAYSTRACK_HOLD_CONSOLE", "1").lower() in (
+        "0", "false", "no",
+    ):
         return
     stdin = getattr(sys, "stdin", None)
-    if stdin is None or not stdin.isatty():
+    interactive = stdin is not None and stdin.isatty()
+    if not interactive:
         return
     try:
         input(prompt)
     except EOFError:
-        pass
+        pass  # closed stdin mid-prompt: nothing to hold open
 
 
 __all__ = [
