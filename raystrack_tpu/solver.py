@@ -1017,36 +1017,43 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         """Plan the next convergence round over ``pending`` and dispatch it
         (async). Returns (device output, plan, nb) or None when no entry has
         plannable work. Advances each planned entry's ``run.itr_next``."""
-        rows: List[List[int]] = []
-        cp_list: List[np.ndarray] = []
+        # vectorized schedule assembly: under round pipelining this host
+        # code sits between dispatches, so per-row Python loops (up to 16K
+        # rows/round) would serialize against device compute
+        row_chunks: List[np.ndarray] = []
+        cp_chunks: List[np.ndarray] = []
+        n_rows = 0
+        n_cps = 0
         plan: List[Tuple] = []  # (entry, start_row, bpi, n_iters)
         round_rows: Dict[int, int] = {}  # global emitter idx -> local row
         for entry in pending:
             run = entry["run"]
             e = entry["idx"]
             bpi = int(n_pad[e]) // RAY_BLOCK
-            if rows and len(rows) + bpi > max_blocks:
+            if n_rows and n_rows + bpi > max_blocks:
                 # not even one iteration fits this round; the entry stays
                 # pending and leads the next round (rounds never overshoot
                 # max_blocks, which for Pallas bounds materialized rays)
                 continue
-            budget = max(1, (max_blocks - len(rows)) // max(1, bpi))
+            budget = max(1, (max_blocks - n_rows) // max(1, bpi))
             chunk = min(entry_plan(entry, int(n_pad[e])), budget)
             if chunk <= 0:
                 continue
             local_e = round_rows.setdefault(e, len(round_rows))
-            start_row = len(rows)
-            for c in range(chunk):
-                cp_idx = len(cp_list)
-                cp_list.append(_cp_rows(run.seed, run.idx_emit, run.itr_next + c, 1)[0])
-                base_off = int(offsets[e])
-                for b in range(bpi):
-                    rows.append(
-                        [local_e, cp_idx, base_off + b * RAY_BLOCK, b * RAY_BLOCK]
-                    )
+            start_row = n_rows
+            cp_chunks.append(_cp_rows(run.seed, run.idx_emit, run.itr_next, chunk))
+            b_off = np.arange(bpi, dtype=np.int32) * RAY_BLOCK
+            rows_e = np.empty((chunk, bpi, 4), dtype=np.int32)
+            rows_e[..., 0] = local_e
+            rows_e[..., 1] = n_cps + np.arange(chunk, dtype=np.int32)[:, None]
+            rows_e[..., 2] = int(offsets[e]) + b_off[None, :]
+            rows_e[..., 3] = b_off[None, :]
+            row_chunks.append(rows_e.reshape(-1, 4))
+            n_rows += chunk * bpi
+            n_cps += chunk
             run.itr_next += chunk
             plan.append((entry, start_row, bpi, chunk))
-            if len(rows) >= max_blocks:
+            if n_rows >= max_blocks:
                 break
         if not plan:
             return None
@@ -1076,19 +1083,19 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
             once_b[local_e] = entry["run"].em_pack.n_rays_once
             plane_b[local_e] = entry["run"].em_pack.plane_host
 
-        nb = _sched_size(len(rows))
+        nb = _sched_size(n_rows)
         if nb % n_dev:  # non-power-of-two meshes: round up to a multiple
             nb = ((nb + n_dev - 1) // n_dev) * n_dev
         # n_cp tied to nb (not a third variant axis): every iteration
         # occupies at least one schedule row
         n_cp = max(8, nb)
         schedule = np.zeros((nb, 4), dtype=np.int32)
-        schedule[: len(rows)] = np.asarray(rows, dtype=np.int32)
-        schedule[len(rows):] = np.asarray(
+        schedule[:n_rows] = np.concatenate(row_chunks)
+        schedule[n_rows:] = np.asarray(
             [dummy_row, 0, 0, 0], dtype=np.int32
         )
         cp = np.zeros((n_cp, 7), dtype=np.float32)
-        cp[: len(cp_list)] = np.stack(cp_list)
+        cp[:n_cps] = np.concatenate(cp_chunks)
 
         # geometry stays the full device-resident stack; the (tiny) per-round
         # compaction gather runs inside the jitted program (``sel``) instead
