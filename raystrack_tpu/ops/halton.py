@@ -91,13 +91,52 @@ def _device_halton_enabled(length: int) -> bool:
     return length >= _DEVICE_MIN_LENGTH
 
 
+# Bucketed device chunk sizes: the largest bounds transient HBM (a few
+# hundred MB peak instead of several GB for 100M-entry tables); the smaller
+# buckets keep the D2H fetch proportional to the table (a 2.1M-entry table
+# pays a 32 MB transfer, not the full 134 MB chunk — the build is
+# transfer-bound on tunneled hosts). At most 4 compiled shapes, each cheap.
+_DEVICE_CHUNKS = (1 << 21, 1 << 22, 1 << 23, 1 << 24)
+
+
+@lru_cache(maxsize=len(_DEVICE_CHUNKS))
+def _reverse_digits_jit(chunk: int):
+    """One jitted digit-reversal program per chunk bucket, for every
+    (base, k, length).
+
+    ``base`` and the digit count ``k`` are traced scalars, and the digit
+    loop is a ``fori_loop`` with a runtime trip count — so the FIRST table
+    build compiles the program once and every other base/length reuses it.
+    (The previous per-base closure baked ``base``/``k`` in and unrolled the
+    int64 loop: five separate 16-67 s cold compiles, ~160 s of a cold ex02.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def reverse_digits(start, base, k):
+        n = start + jnp.arange(chunk, dtype=jnp.int64)
+
+        def body(_, carry):
+            rev, rem = carry
+            return rev * base + rem % base, rem // base
+
+        rev, _ = jax.lax.fori_loop(0, k, body, (jnp.zeros_like(n), n))
+        return rev
+
+    return reverse_digits
+
+
 def _radical_inverse_device(length: int, base: int) -> Optional[np.ndarray]:
     """Digit-reversed integers for indices 1..length, computed on device.
 
     The reversal is pure int64 arithmetic (exact on TPU via 32-bit pairs,
     enabled with the local x64 context); the final exact f64 division runs
-    on host, so device and host tables are BITWISE identical. Returns None
-    when no accelerator is available (callers fall back to the host build).
+    on host, so device and host tables are BITWISE identical. Running the
+    ``fori_loop`` exactly ``k`` times (multiplying ``rev`` by ``base`` once
+    the remainder hits zero) matches the host builder's fixed-k loop
+    (``radical_inverse`` above) step for step. Returns None when no
+    accelerator is available (callers fall back to the host build).
     """
     try:
         import jax
@@ -107,26 +146,23 @@ def _radical_inverse_device(length: int, base: int) -> Optional[np.ndarray]:
             return None
 
         k = _digit_count(length, base)
-
-        # Fixed-size slices bound transient HBM (one compiled shape, a few
-        # hundred MB peak instead of several GB for 100M-entry tables) —
-        # the reversal is elementwise in the index, so slicing is exact.
-        chunk = 1 << 24
         with jax.enable_x64():
-
-            @jax.jit
-            def reverse_digits(start):
-                n = start + jnp.arange(chunk, dtype=jnp.int64)
-                rev = jnp.zeros_like(n)
-                for _ in range(k):
-                    rev = rev * base + n % base
-                    n = n // base
-                return rev
-
             host = np.empty(length, dtype=np.int64)
-            for s in range(0, length, chunk):
-                block = np.asarray(reverse_digits(jnp.int64(s + 1)))
-                host[s : s + chunk] = block[: min(chunk, length - s)]
+            s = 0
+            while s < length:
+                remaining = length - s
+                chunk = next(
+                    (c for c in _DEVICE_CHUNKS if c >= remaining),
+                    _DEVICE_CHUNKS[-1],
+                )
+                block = np.asarray(
+                    _reverse_digits_jit(chunk)(
+                        jnp.int64(s + 1), jnp.int64(base), jnp.int64(k)
+                    )
+                )
+                take = min(chunk, remaining)
+                host[s : s + take] = block[:take]
+                s += take
         return host / float(base**k)
     except Exception:
         return None  # any device/backend issue -> host build

@@ -64,6 +64,28 @@ def test_device_builder_bitwise_equals_host(monkeypatch):
         np.testing.assert_array_equal(dev, host)
 
 
+def test_device_builder_chunk_stitching(monkeypatch):
+    """Bucketed chunk selection and multi-chunk stitching are exact: a
+    table spanning several device chunks (including a ragged tail shorter
+    than the smallest bucket) equals the host build bitwise."""
+    import raystrack_tpu.ops.halton as halton_mod
+
+    monkeypatch.setenv("RAYSTRACK_TPU_DEVICE_HALTON", "1")
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # shrink the buckets so a small table exercises every code path:
+    # bucket promotion (tail of 3_000 -> the 4_096 bucket), full largest
+    # chunks, and the final partial take
+    monkeypatch.setattr(halton_mod, "_DEVICE_CHUNKS", (1 << 12, 1 << 13, 1 << 14))
+    for base, length in ((2, 40_000), (3, (1 << 14) * 2 + 3_000), (7, 1 << 12)):
+        dev = halton_mod._radical_inverse_device(length, base)
+        assert dev is not None
+        assert dev.shape == (length,)
+        host = radical_inverse(np.arange(1, length + 1, dtype=np.int64), base)
+        np.testing.assert_array_equal(dev, host)
+
+
 def test_grid_layout_and_range():
     g = 5
     u, v = cached_halton(g)
