@@ -7,8 +7,11 @@ float64 and stored as float32, the stratified grid uses bases (2, 3) with
 use bases (5, 2, 3, 7, 11) starting at index 1.
 
 Here the tables are built with vectorized NumPy (digit-parallel radical
-inverse) instead of scalar JIT loops — they are precomputed host constants
-that the device solve step consumes.
+inverse) instead of scalar JIT loops — precomputed constants the device
+solve step consumes. Tables big enough for the accelerator builder
+(``_DEVICE_MIN_LENGTH``) are computed AND kept on device end to end:
+reversal, exact f64 division, and f32 cast all run in one jitted chunk
+program, bitwise-equal to the host build, with no host round-trip.
 """
 from __future__ import annotations
 
@@ -92,29 +95,34 @@ def _device_halton_enabled(length: int) -> bool:
 
 
 # Bucketed device chunk sizes: the largest bounds transient HBM (a few
-# hundred MB peak instead of several GB for 100M-entry tables); the smaller
-# buckets keep the D2H fetch proportional to the table (a 2.1M-entry table
-# pays a 32 MB transfer, not the full 134 MB chunk — the build is
-# transfer-bound on tunneled hosts). At most 4 compiled shapes, each cheap.
+# hundred MB peak instead of several GB for 100M-entry tables). At most 4
+# compiled shapes, each cheap.
 _DEVICE_CHUNKS = (1 << 21, 1 << 22, 1 << 23, 1 << 24)
 
 
 @lru_cache(maxsize=len(_DEVICE_CHUNKS))
-def _reverse_digits_jit(chunk: int):
-    """One jitted digit-reversal program per chunk bucket, for every
+def _halton_chunk_jit(chunk: int):
+    """One jitted Halton-chunk program per chunk bucket, for every
     (base, k, length).
 
-    ``base`` and the digit count ``k`` are traced scalars, and the digit
-    loop is a ``fori_loop`` with a runtime trip count — so the FIRST table
-    build compiles the program once and every other base/length reuses it.
-    (The previous per-base closure baked ``base``/``k`` in and unrolled the
-    int64 loop: five separate 16-67 s cold compiles, ~160 s of a cold ex02.)
+    ``base``, the digit count ``k`` and the denominator are traced scalars,
+    and the digit loop is a ``fori_loop`` with a runtime trip count — so the
+    FIRST table build compiles the program once and every other base/length
+    reuses it. (An earlier per-base closure baked ``base``/``k`` in and
+    unrolled the int64 loop: five separate 16-67 s cold compiles, ~160 s of
+    a cold ex02.)
+
+    The whole value pipeline runs on device: int64 digit reversal (exact on
+    TPU via 32-bit pairs), the exact f64 division (numerator and denominator
+    are integers < 2**53, so the conversion is exact and the division rounds
+    once), and the f32 cast. Nothing round-trips to host — for an 89M-ray
+    emitter the old int64 D2H fetch alone was ~3.6 GB over a tunneled link.
     """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def reverse_digits(start, base, k):
+    def halton_chunk(start, base, k, denom):
         n = start + jnp.arange(chunk, dtype=jnp.int64)
 
         def body(_, carry):
@@ -122,21 +130,23 @@ def _reverse_digits_jit(chunk: int):
             return rev * base + rem % base, rem // base
 
         rev, _ = jax.lax.fori_loop(0, k, body, (jnp.zeros_like(n), n))
-        return rev
+        return (rev.astype(jnp.float64) / denom).astype(jnp.float32)
 
-    return reverse_digits
+    return halton_chunk
 
 
-def _radical_inverse_device(length: int, base: int) -> Optional[np.ndarray]:
-    """Digit-reversed integers for indices 1..length, computed on device.
+def _halton_dim_device(length: int, base: int):
+    """First ``length`` Halton f32 values in ``base``, computed AND kept on
+    device (a ``jax.Array`` on the default device; no D2H transfer).
 
-    The reversal is pure int64 arithmetic (exact on TPU via 32-bit pairs,
-    enabled with the local x64 context); the final exact f64 division runs
-    on host, so device and host tables are BITWISE identical. Running the
-    ``fori_loop`` exactly ``k`` times (multiplying ``rev`` by ``base`` once
-    the remainder hits zero) matches the host builder's fixed-k loop
-    (``radical_inverse`` above) step for step. Returns None when no
-    accelerator is available (callers fall back to the host build).
+    Running the ``fori_loop`` exactly ``k`` times (multiplying ``rev`` by
+    ``base`` once the remainder hits zero) matches the host builder's
+    fixed-k loop (``radical_inverse`` above) step for step, and the
+    f64-divide-then-f32-cast reproduces the host build's double rounding —
+    device and host tables are BITWISE identical (asserted on real TPU by
+    tpu_smoke.py and on the CPU backend by tests/test_halton.py). Returns
+    None when no accelerator is available (callers fall back to the host
+    build).
     """
     try:
         import jax
@@ -146,8 +156,9 @@ def _radical_inverse_device(length: int, base: int) -> Optional[np.ndarray]:
             return None
 
         k = _digit_count(length, base)
+        denom = float(base**k)  # < 2**53: exactly representable
         with jax.enable_x64():
-            host = np.empty(length, dtype=np.int64)
+            blocks = []
             s = 0
             while s < length:
                 remaining = length - s
@@ -155,21 +166,30 @@ def _radical_inverse_device(length: int, base: int) -> Optional[np.ndarray]:
                     (c for c in _DEVICE_CHUNKS if c >= remaining),
                     _DEVICE_CHUNKS[-1],
                 )
-                block = np.asarray(
-                    _reverse_digits_jit(chunk)(
-                        jnp.int64(s + 1), jnp.int64(base), jnp.int64(k)
-                    )
+                block = _halton_chunk_jit(chunk)(
+                    jnp.int64(s + 1),
+                    jnp.int64(base),
+                    jnp.int64(k),
+                    jnp.float64(denom),
                 )
                 take = min(chunk, remaining)
-                host[s : s + take] = block[:take]
+                blocks.append(block if take == chunk else block[:take])
                 s += take
-        return host / float(base**k)
+            out = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks)
+        return jax.block_until_ready(out)
     except Exception:
         return None  # any device/backend issue -> host build
 
 
-def _halton_dim(length: int, base: int) -> np.ndarray:
-    """First ``length`` Halton values in ``base`` (indices 1..length), f32."""
+def _halton_dim(length: int, base: int):
+    """First ``length`` Halton values in ``base`` (indices 1..length), f32.
+
+    Returns a host ``np.ndarray``, EXCEPT when the table is big enough for
+    the accelerator builder and the on-disk cache is off: then the table is
+    returned as a device-resident ``jax.Array`` and never touches the host
+    (consumers feed it straight into device packs — see
+    ``prepared.pack_emitter``). Host and device tables are bitwise equal.
+    """
     cache_dir = _table_cache_dir() if length >= _DISK_CACHE_MIN_LENGTH else None
     if cache_dir is not None:
         path = cache_dir / f"halton_b{base}_n{length}.npy"
@@ -180,14 +200,20 @@ def _halton_dim(length: int, base: int) -> np.ndarray:
                     return arr
             except Exception:
                 pass
-    values = (
-        _radical_inverse_device(length, base)
-        if _device_halton_enabled(length)
-        else None
-    )
-    if values is None:
-        values = radical_inverse(np.arange(1, length + 1, dtype=np.int64), base)
-    arr = values.astype(np.float32)
+    if _device_halton_enabled(length):
+        dev = _halton_dim_device(length, base)
+        if dev is not None:
+            if cache_dir is None:
+                return dev  # stays on device; no D2H
+            arr = np.asarray(dev)  # opt-in disk cache pays one f32 fetch
+        else:
+            arr = None
+    else:
+        arr = None
+    if arr is None:
+        arr = radical_inverse(
+            np.arange(1, length + 1, dtype=np.int64), base
+        ).astype(np.float32)
     if cache_dir is not None:
         # per-process tmp name: concurrent builders of the same table must
         # not interleave writes into one tmp file before the atomic publish
@@ -209,7 +235,24 @@ def cached_halton(samples: int) -> Tuple[np.ndarray, np.ndarray]:
     return u, v
 
 
-@lru_cache(maxsize=128)
+def _build_dims(n: int):
+    return (
+        _halton_dim(n, 5),
+        _halton_dim(n, 2),
+        _halton_dim(n, 3),
+        _halton_dim(n, 7),
+        _halton_dim(n, 11),
+    )
+
+
+# Big tables can be device-resident (jax.Array): an lru entry then PINS
+# ~5 * length * 4 bytes of HBM (1.3 GB at the 67M scheduler budget), so the
+# big-length cache keeps only the 2 most recent lengths — a rebuild is
+# seconds on device, and a scene's same-size emitters share one entry.
+_cached_dims_small = lru_cache(maxsize=128)(_build_dims)
+_cached_dims_big = lru_cache(maxsize=2)(_build_dims)
+
+
 def cached_halton_dims(
     length: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -218,13 +261,19 @@ def cached_halton_dims(
     Order: triangle pick, barycentric u, barycentric v, hemisphere r1, r2.
     """
     n = int(length)
-    return (
-        _halton_dim(n, 5),
-        _halton_dim(n, 2),
-        _halton_dim(n, 3),
-        _halton_dim(n, 7),
-        _halton_dim(n, 11),
-    )
+    if n >= _DEVICE_MIN_LENGTH:
+        return _cached_dims_big(n)
+    return _cached_dims_small(n)
+
+
+def _dims_cache_clear() -> None:
+    _cached_dims_small.cache_clear()
+    _cached_dims_big.cache_clear()
+
+
+# tests and HBM-conscious callers clear both partitions through the same
+# attribute the old single lru_cache exposed
+cached_halton_dims.cache_clear = _dims_cache_clear
 
 
 __all__ = ["radical_inverse", "cached_halton", "cached_halton_dims"]

@@ -575,16 +575,41 @@ def pack_emitter(
     if ray_device is None:
         ray_device = device
 
-    def pad1(a: np.ndarray) -> np.ndarray:
-        out = np.zeros(n_rays_pad, dtype=np.float32)
-        out[: a.shape[0]] = a
-        return out
-
-    u_cell = np.repeat(emitter.u_grid, rays)
-    v_cell = np.repeat(emitter.v_grid, rays)
-
     put = lambda a: jax.device_put(np.asarray(a), device)
-    put_r = lambda a: jax.device_put(np.asarray(a), ray_device)
+
+    # Device-resident big-emitter tables: when the halton builder handed
+    # back jax.Arrays (accelerator build, see ops/halton._halton_dim), pad
+    # on device and build the per-ray cell-jitter repeats on device from
+    # the small (g*g,) grids — for an 89M-ray emitter the host path would
+    # otherwise upload ~2.5 GB of per-ray f32 tables through the tunnel.
+    device_tables = isinstance(emitter.halton_tri, jax.Array)
+
+    if device_tables:
+        import jax.numpy as jnp
+
+        def pad1(a):
+            a = jnp.asarray(a)
+            padding = n_rays_pad - int(a.shape[0])
+            if padding:
+                a = jnp.concatenate([a, jnp.zeros(padding, jnp.float32)])
+            return a
+
+        u_cell = jnp.repeat(jnp.asarray(emitter.u_grid), rays)
+        v_cell = jnp.repeat(jnp.asarray(emitter.v_grid), rays)
+        # device -> ray_device placement (no-op on the default device; a
+        # resharding copy when the caller passed a ray-axis sharding)
+        put_r = lambda a: jax.device_put(a, ray_device)
+    else:
+
+        def pad1(a: np.ndarray) -> np.ndarray:
+            out = np.zeros(n_rays_pad, dtype=np.float32)
+            out[: a.shape[0]] = a
+            return out
+
+        u_cell = np.repeat(emitter.u_grid, rays)
+        v_cell = np.repeat(emitter.v_grid, rays)
+        put_r = lambda a: jax.device_put(np.asarray(a), ray_device)
+
     plane_host = emitter_plane_vec(emitter)
     return EmitterPack(
         u_cell=put_r(pad1(u_cell)),
@@ -756,16 +781,48 @@ class PreparedSolver:
         offsets = np.concatenate([[0], np.cumsum(n_pad)[:-1]]).astype(np.int64)
         total = int(n_pad.sum())
 
-        def flat(per_emitter_fn):
-            out = np.zeros(total, dtype=np.float32)
-            for e_idx, em in enumerate(emitters):
-                arr = per_emitter_fn(em)
-                out[offsets[e_idx] : offsets[e_idx] + arr.shape[0]] = arr
-            return jax.device_put(out, device)
+        # Emitters between the device-build threshold (~2M entries) and the
+        # scheduler budget (SCHED_MAX_FLAT_RAYS, 64M) carry device-resident
+        # halton tables (ops/halton._halton_dim): concatenate those ON
+        # device — fetching and re-uploading a 64M-ray scene's 7 flat
+        # tables would move ~2 GB each way through a tunneled link. Scenes
+        # with device tables have few (big) emitters, so the per-emitter
+        # eager pad/concat dispatches stay cheap.
+        device_tables = any(
+            isinstance(em.halton_tri, jax.Array) for em in emitters
+        )
+
+        if device_tables:
+            import jax.numpy as jnp
+
+            def flat(per_emitter_fn):
+                parts = []
+                for e_idx, em in enumerate(emitters):
+                    arr = jnp.asarray(per_emitter_fn(em))
+                    pad = int(n_pad[e_idx]) - int(arr.shape[0])
+                    if pad:
+                        arr = jnp.concatenate(
+                            [arr, jnp.zeros(pad, jnp.float32)]
+                        )
+                    parts.append(arr)
+                out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                return jax.device_put(out, device)
+
+            rep = lambda grid: jnp.repeat(jnp.asarray(grid), rays)
+        else:
+
+            def flat(per_emitter_fn):
+                out = np.zeros(total, dtype=np.float32)
+                for e_idx, em in enumerate(emitters):
+                    arr = np.asarray(per_emitter_fn(em))
+                    out[offsets[e_idx] : offsets[e_idx] + arr.shape[0]] = arr
+                return jax.device_put(out, device)
+
+            rep = lambda grid: np.repeat(grid, rays)
 
         tables_flat = (
-            flat(lambda em: np.repeat(em.u_grid, rays)),
-            flat(lambda em: np.repeat(em.v_grid, rays)),
+            flat(lambda em: rep(em.u_grid)),
+            flat(lambda em: rep(em.v_grid)),
             flat(lambda em: em.halton_tri),
             flat(lambda em: em.halton_u),
             flat(lambda em: em.halton_v),

@@ -47,21 +47,25 @@ def test_radical_inverse_f32_matches_sequential_accumulation():
 
 
 def test_device_builder_bitwise_equals_host(monkeypatch):
-    """The accelerator table builder (int64 digit reversal on device, exact
-    f64 division on host) produces bitwise-identical tables."""
+    """The accelerator table builder (int64 digit reversal, exact f64
+    division, f32 cast — all on device, no host round-trip) produces
+    bitwise-identical f32 tables."""
     import raystrack_tpu.ops.halton as halton_mod
 
     monkeypatch.setenv("RAYSTRACK_TPU_DEVICE_HALTON", "1")
     # the CPU backend guard would skip the device path; bypass it so the
-    # jitted reversal actually runs (on the test's CPU devices)
+    # jitted build actually runs (on the test's CPU devices)
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     for base in (2, 3, 5, 7, 11):
-        dev = halton_mod._radical_inverse_device(50_000, base)
+        dev = halton_mod._halton_dim_device(50_000, base)
         assert dev is not None
-        host = radical_inverse(np.arange(1, 50_001, dtype=np.int64), base)
-        np.testing.assert_array_equal(dev, host)
+        assert isinstance(dev, jax.Array)
+        host = radical_inverse(
+            np.arange(1, 50_001, dtype=np.int64), base
+        ).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(dev), host)
 
 
 def test_device_builder_chunk_stitching(monkeypatch):
@@ -79,11 +83,110 @@ def test_device_builder_chunk_stitching(monkeypatch):
     # chunks, and the final partial take
     monkeypatch.setattr(halton_mod, "_DEVICE_CHUNKS", (1 << 12, 1 << 13, 1 << 14))
     for base, length in ((2, 40_000), (3, (1 << 14) * 2 + 3_000), (7, 1 << 12)):
-        dev = halton_mod._radical_inverse_device(length, base)
+        dev = halton_mod._halton_dim_device(length, base)
         assert dev is not None
         assert dev.shape == (length,)
-        host = radical_inverse(np.arange(1, length + 1, dtype=np.int64), base)
-        np.testing.assert_array_equal(dev, host)
+        host = radical_inverse(
+            np.arange(1, length + 1, dtype=np.int64), base
+        ).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_device_tables_stay_on_device_and_pack(monkeypatch):
+    """_halton_dim returns a device-resident jax.Array above the device
+    threshold (disk cache off), and pack_emitter consumes it on device:
+    padded tables and on-device cell repeats match the host-path pack
+    bitwise."""
+    import jax
+
+    import raystrack_tpu.ops.halton as halton_mod
+    from raystrack_tpu import prepared as prep_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(halton_mod, "_DEVICE_MIN_LENGTH", 1_000)
+    monkeypatch.delenv("RAYSTRACK_TPU_TABLE_CACHE", raising=False)
+
+    V = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], dtype=np.float32
+    )
+    F = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    rays = 64
+
+    halton_mod.cached_halton_dims.cache_clear()
+    try:
+        (em_dev,) = prep_mod.prepare_emitters(
+            [("plate", V, F)], samples=64, rays=rays, flip_faces=False
+        )
+        assert isinstance(em_dev.halton_tri, jax.Array)
+        pack_dev = prep_mod.pack_emitter(em_dev, rays)
+
+        # host-path pack of the same emitter for comparison
+        monkeypatch.setenv("RAYSTRACK_TPU_DEVICE_HALTON", "0")
+        halton_mod.cached_halton_dims.cache_clear()
+        (em_host,) = prep_mod.prepare_emitters(
+            [("plate", V, F)], samples=64, rays=rays, flip_faces=False
+        )
+        assert isinstance(em_host.halton_tri, np.ndarray)
+        pack_host = prep_mod.pack_emitter(em_host, rays)
+
+        for field in ("u_cell", "v_cell", "h_tri", "h_u", "h_v", "h_r1", "h_r2"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(pack_dev, field)),
+                np.asarray(getattr(pack_host, field)),
+            )
+        assert pack_dev.n_rays_pad == pack_host.n_rays_pad
+    finally:
+        halton_mod.cached_halton_dims.cache_clear()
+
+
+def test_device_tables_flat_concat_matches_host(monkeypatch):
+    """PreparedSolver.get_flat_tables with device-resident halton tables
+    (mixed scene: one emitter above the device threshold, one below)
+    concatenates on device and matches the host-path flat tables bitwise."""
+    import jax
+
+    import raystrack_tpu.ops.halton as halton_mod
+    from raystrack_tpu import prepared as prep_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(halton_mod, "_DEVICE_MIN_LENGTH", 1_000)
+    monkeypatch.delenv("RAYSTRACK_TPU_TABLE_CACHE", raising=False)
+
+    V = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], dtype=np.float32
+    )
+    F = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    # the small plate's area-scaled grid stays under the device threshold
+    # while the big one crosses it -> genuinely mixed scene
+    V2 = V * np.float32(0.125) + np.float32([0, 0, 1])
+    meshes = [("big", V, F), ("small", V2, F)]
+
+    halton_mod.cached_halton_dims.cache_clear()
+    try:
+        ps_dev = prep_mod.PreparedSolver(meshes)
+        flat_dev, geom_dev, off_dev, pad_dev = ps_dev.get_flat_tables(
+            samples=64, rays=32, flip_faces=False
+        )
+        big = ps_dev.get_emitter(0, samples=64, rays=32, flip_faces=False)
+        small = ps_dev.get_emitter(1, samples=64, rays=32, flip_faces=False)
+        assert isinstance(big.halton_tri, jax.Array)
+        assert isinstance(small.halton_tri, np.ndarray)
+
+        monkeypatch.setenv("RAYSTRACK_TPU_DEVICE_HALTON", "0")
+        halton_mod.cached_halton_dims.cache_clear()
+        ps_host = prep_mod.PreparedSolver(meshes)
+        flat_host, geom_host, off_host, pad_host = ps_host.get_flat_tables(
+            samples=64, rays=32, flip_faces=False
+        )
+
+        np.testing.assert_array_equal(off_dev, off_host)
+        np.testing.assert_array_equal(pad_dev, pad_host)
+        for a, b in zip(flat_dev, flat_host):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(geom_dev, geom_host):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        halton_mod.cached_halton_dims.cache_clear()
 
 
 def test_grid_layout_and_range():

@@ -195,6 +195,48 @@ def _end_to_end():
     return results
 
 
+def _halton_parity():
+    """Device-built Halton tables must be BITWISE equal to the host build.
+
+    Forces the accelerator builder on (the smoke lengths are below its
+    threshold) and shrinks the chunk buckets so the multi-chunk stitching
+    path runs on the real chip too. Cheap: ~300k f32 per base D2H.
+    """
+    from raystrack_tpu.ops import halton as hm
+
+    if jax.default_backend() == "cpu":
+        return []  # the CPU-backend guard would skip the device build;
+        # tests/test_halton.py covers this path with a monkeypatched backend
+
+    t0 = time.monotonic()
+    old_env = os.environ.get("RAYSTRACK_TPU_DEVICE_HALTON")
+    old_chunks = hm._DEVICE_CHUNKS
+    os.environ["RAYSTRACK_TPU_DEVICE_HALTON"] = "1"
+    hm._DEVICE_CHUNKS = (1 << 17, 1 << 18)
+    try:
+        length = 300_000  # spans two chunks + a partial take
+        host_idx = np.arange(1, length + 1, dtype=np.int64)
+        for base in (2, 3, 5, 7, 11):
+            dev = hm._halton_dim_device(length, base)
+            if dev is None:
+                return [("halton[parity]", time.monotonic() - t0,
+                         "device builder returned None")]
+            host = hm.radical_inverse(host_idx, base).astype(np.float32)
+            if not np.array_equal(np.asarray(dev), host):
+                return [("halton[parity]", time.monotonic() - t0,
+                         f"base {base}: device != host (bitwise)")]
+        return [("halton[parity]", time.monotonic() - t0, None)]
+    except Exception as exc:  # noqa: BLE001
+        return [("halton[parity]", time.monotonic() - t0,
+                 f"{type(exc).__name__}: {exc}")]
+    finally:
+        hm._DEVICE_CHUNKS = old_chunks
+        if old_env is None:
+            os.environ.pop("RAYSTRACK_TPU_DEVICE_HALTON", None)
+        else:
+            os.environ["RAYSTRACK_TPU_DEVICE_HALTON"] = old_env
+
+
 def main() -> int:
     t0 = time.monotonic()
     backend = jax.default_backend()
@@ -207,6 +249,7 @@ def main() -> int:
     # Remote AOT is RPC-bound; parallel lowers/compiles overlap the waits.
     with ThreadPoolExecutor(max_workers=8) as pool:
         results = list(pool.map(lambda c: _compile_one(*c), cases))
+    results += _halton_parity()
     results += _end_to_end()
 
     failures = 0
