@@ -168,18 +168,23 @@ SCHED_PRECOMPILE = _env_int("RAYSTRACK_TPU_SCHED_PRECOMPILE", 1, minimum=0)
 SCHED_PIPELINE = _env_int("RAYSTRACK_TPU_SCHED_PIPELINE", 1, minimum=0)
 
 # Distance-gate SMEM capacity, in gate BOXES (the AABB/order tables live in
-# scalar memory; 2048 boxes = ~128 KB of SMEM tables, measured fine on
-# v5e). Scenes whose tile count exceeds this are gated at GROUP granularity
-# instead of falling back to the ungated sweep: each gate box covers
-# ceil(n_tiles / GATE_MAX_TILES) consecutive Morton-ordered tiles, the
-# visit order runs over groups, and member tiles still stream/compute
-# conditionally — so exact pruning extends to arbitrarily large scenes at
-# progressively coarser granularity (group size capped by GATE_MAX_GROUP).
-GATE_MAX_TILES = _env_int("RAYSTRACK_TPU_GATE_MAX_TILES", 2048)
+# scalar memory; 8192 boxes = ~512 KB of SMEM tables — compiles and runs
+# fine on v5e, and a 16384-box table also compiles). Scenes whose tile
+# count exceeds this are gated at GROUP granularity instead of falling back
+# to the ungated sweep: each gate box covers ceil(n_tiles / GATE_MAX_TILES)
+# consecutive Morton-ordered tiles, the visit order runs over groups, and
+# member tiles still stream/compute conditionally — so exact pruning
+# extends to arbitrarily large scenes at progressively coarser granularity
+# (group size capped by GATE_MAX_GROUP). Raising the cap 2048 -> 8192 made
+# the 10M-tri occluded city fully per-tile-gated: 33.4k -> 38.5k rays/s
+# (+15%, hit counts identical); scenes under 4M tris (2048 tiles) compile
+# the very same kernel either way.
+GATE_MAX_TILES = _env_int("RAYSTRACK_TPU_GATE_MAX_TILES", 8192)
 
 # Largest tiles-per-box group the coarse gate accepts before giving up
-# (64 x 2048 tiles x 2048 tris = 268M triangles at default widths; beyond
-# that a single box spans so much geometry that slab tests cannot prune).
+# (64 x 8192 tiles x 2048 tris = ~1.07B triangles at default widths;
+# beyond that a single box spans so much geometry that slab tests cannot
+# prune).
 GATE_MAX_GROUP = _env_int("RAYSTRACK_TPU_GATE_MAX_GROUP", 64)
 
 __all__ = [
