@@ -189,6 +189,29 @@ def test_device_tables_flat_concat_matches_host(monkeypatch):
         halton_mod.cached_halton_dims.cache_clear()
 
 
+def test_dims_cache_partition(monkeypatch):
+    """Lengths at/above the device threshold route to the 2-entry big-table
+    cache (device tables must not pin unbounded HBM); cache_clear clears
+    both partitions."""
+    import raystrack_tpu.ops.halton as halton_mod
+
+    monkeypatch.setattr(halton_mod, "_DEVICE_MIN_LENGTH", 1_000)
+    cached_halton_dims.cache_clear()
+    try:
+        cached_halton_dims(100)  # small partition
+        for n in (1_000, 2_000, 3_000):  # big partition: evicts down to 2
+            cached_halton_dims(n)
+        small = halton_mod._cached_dims_small.cache_info()
+        big = halton_mod._cached_dims_big.cache_info()
+        assert small.currsize == 1
+        assert big.currsize == 2 and big.maxsize == 2
+        cached_halton_dims.cache_clear()
+        assert halton_mod._cached_dims_small.cache_info().currsize == 0
+        assert halton_mod._cached_dims_big.cache_info().currsize == 0
+    finally:
+        cached_halton_dims.cache_clear()
+
+
 def test_grid_layout_and_range():
     g = 5
     u, v = cached_halton(g)
