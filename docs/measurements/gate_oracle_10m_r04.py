@@ -1,10 +1,10 @@
-"""Oracle analysis: how many gate boxes would the block gate visit on the
-1M-tri occluded city if best_t were seeded (a) not at all (current), (b) by a
-one-tile largest-triangle proxy pre-pass, (c) perfectly (oracle t_final)?
+"""Oracle analysis at 10M tris (block-subsampled): how close is the per-tile
+gate to the information-theoretic visit floor on the 10M-tri city?
 
-Bounds the value of any best_t-seeding pre-pass before implementing one.
-Pure CPU (jax cpu backend + numpy); mirrors chunk_body_pallas exactly:
-raygen -> coherence sort -> (16,N) gate tables -> near-to-far block sweep.
+Same method as docs/measurements/gate_oracle_r04.py (1M, full-ray), but the
+pair sweep and simulation run over a random sample of ray blocks — the
+visited-fraction statistic is an average over blocks, so a 24-block sample
+estimates it tightly at 1/13 the pair-sweep cost.
 """
 import sys, time
 import numpy as np
@@ -27,11 +27,12 @@ from raystrack_tpu.ops.trace_pallas import _gate_tables, sweep_tile_width
 from raystrack_tpu.solver import _cp_rows
 from raystrack_tpu.config import PALLAS_TRI_TILE, PALLAS_RAY_BLOCK
 
-N_TRI = 1_000_000
+N_TRI = 10_000_000
+SAMPLE_BLOCKS = 24
 t0 = time.time()
 ps = PreparedSolver(bench._city(N_TRI))
 scene = ps.get_scene_pack(use_accel=True)
-em = ps.get_emitter_pack(0, samples=1, rays=2, flip_faces=False)
+em = ps.get_emitter_pack(0, samples=1, rays=1, flip_faces=False)
 n_surf = len(ps.meshes)
 ext = np.zeros(n_surf + 1, dtype=np.int32)
 ext[1:-1] = 1
@@ -53,9 +54,8 @@ scene_lo = jnp.min(accel[0], axis=0)
 scene_hi = jnp.max(accel[1], axis=0)
 o, d, ray_valid = T.sort_rays_for_coherence(
     o, d, ray_valid, scene_lo=scene_lo, scene_hi=scene_hi)
-o = np.asarray(o[0])  # (N, 3)
+o = np.asarray(o[0])
 d = np.asarray(d[0])
-valid = np.asarray(ray_valid[0])
 N = o.shape[0]
 
 m_any, m_mat = T.compute_masks(sc, jnp.asarray(ext), jnp.int32(0), jnp.int32(0), None)
@@ -65,17 +65,24 @@ tile = sweep_tile_width(scene.v0.shape[0], PALLAS_TRI_TILE)
 n_tiles = scene.v0.shape[0] // tile
 B = PALLAS_RAY_BLOCK
 n_blocks = N // B
-rays16 = np.concatenate([o, d, np.cross(o, d)], axis=-1).T  # (9, N)
+rays16 = np.concatenate([o, d, np.cross(o, d)], axis=-1).T
 aabb, order, _counts, group = _gate_tables(  # counts added post-measurement (compacted gate)
     jax.tree.map(jnp.asarray, accel), jnp.asarray(rays16), n_blocks, B, n_tiles, tile)
 aabb = np.asarray(aabb); order = np.asarray(order)
 print(f"tile={tile} n_tiles={n_tiles} group={group} blocks={n_blocks} "
       f"{time.time()-t0:.1f}s", flush=True)
-assert group == 1
+assert group == 1, group  # per-tile after the GATE_MAX_TILES raise
 
 tiles_on = np.asarray(T.tile_activity(jnp.asarray(m_mat), tile))
 
-# ---- per-(ray, tile) min valid t (the tile math fold), chunked jax sweep ----
+rng = np.random.default_rng(3)
+blocks = np.sort(rng.choice(n_blocks, size=min(SAMPLE_BLOCKS, n_blocks),
+                            replace=False))
+rows = np.concatenate([np.arange(b * B, (b + 1) * B) for b in blocks])
+oS, dS = o[rows], d[rows]
+cS = np.cross(oS, dS)
+NS = oS.shape[0]
+
 v0 = jnp.asarray(scene.v0); e1 = jnp.asarray(scene.e1); e2 = jnp.asarray(scene.e2)
 ce = jnp.where(jnp.asarray(m_mat)[:, None], jnp.asarray(scene.cross_e), 0.0)
 wu = jnp.asarray(scene.w_u); wv = jnp.asarray(scene.w_v); d0v = jnp.asarray(scene.d0)
@@ -83,7 +90,6 @@ INF = 1.0e20
 
 @jax.jit
 def tile_min_t(o_b, d_b, c_b, ceT, e1T, e2T, wuT, wvT, d0T):
-    # (RB, 3) rays vs one tile's (3, T) operands -> (RB,) min valid t
     det = -(d_b @ ceT)
     t_num = o_b @ ceT - d0T[None, :]
     u_num = c_b @ e2T + d_b @ wuT
@@ -97,39 +103,34 @@ def tile_min_t(o_b, d_b, c_b, ceT, e1T, e2T, wuT, wvT, d0T):
     ok = (margin >= 0.0) & (t_hit > 1e-6)
     return jnp.min(jnp.where(ok, t_hit, INF), axis=1)
 
-RB = 16384
-c = np.cross(o, d)
 ceN = np.asarray(ce); e1N = np.asarray(e1); e2N = np.asarray(e2)
 wuN = np.asarray(wu); wvN = np.asarray(wv); d0N = np.asarray(d0v)
-M = np.empty((N, n_tiles), np.float32)
+M = np.empty((NS, n_tiles), np.float32)
 for i in range(n_tiles):
     lo, hi = i * tile, (i + 1) * tile
     ops = (jnp.asarray(ceN[lo:hi].T), jnp.asarray(e1N[lo:hi].T),
            jnp.asarray(e2N[lo:hi].T), jnp.asarray(wuN[lo:hi].T),
            jnp.asarray(wvN[lo:hi].T), jnp.asarray(d0N[lo:hi]))
-    for r0 in range(0, N, RB):
-        M[r0:r0 + RB, i] = np.asarray(tile_min_t(
-            jnp.asarray(o[r0:r0 + RB]), jnp.asarray(d[r0:r0 + RB]),
-            jnp.asarray(c[r0:r0 + RB]), *ops))
-    if i % 64 == 0:
+    M[:, i] = np.asarray(tile_min_t(
+        jnp.asarray(oS), jnp.asarray(dS), jnp.asarray(cS), *ops))
+    if i % 512 == 0:
         print(f"  tile {i}/{n_tiles} {time.time()-t0:.1f}s", flush=True)
 t_final = M.min(axis=1)
-print(f"pair sweep done {time.time()-t0:.1f}s  hit_frac={(t_final<INF).mean():.3f}",
+print(f"pair sweep done {time.time()-t0:.1f}s hit_frac={(t_final<INF).mean():.3f}",
       flush=True)
 
-# ---- per-(ray, box) conservative intervals (mirrors _gate_need_rays) ----
-lo_b = aabb[0:3].T  # (n_tiles, 3)
+lo_b = aabb[0:3].T
 hi_b = aabb[3:6].T
-d_zero = np.abs(d) <= 1e-30
-inv = 1.0 / np.where(d_zero, 1.0, d)
-d_pos = d >= 0.0
+d_zeroS = np.abs(dS) <= 1e-30
+invS = 1.0 / np.where(d_zeroS, 1.0, dS)
+d_posS = dS >= 0.0
 
-def intervals(rs):  # rays slice -> (nr, n_tiles) near_c, hit_box
-    oS = o[rs][:, None, :]; inS = inv[rs][:, None, :]
-    dp = d_pos[rs][:, None, :]; dz = d_zero[rs][:, None, :]
-    t_n = (np.where(dp, lo_b[None], hi_b[None]) - oS) * inS
-    t_f = (np.where(dp, hi_b[None], lo_b[None]) - oS) * inS
-    inside = (oS >= lo_b[None]) & (oS <= hi_b[None])
+def intervals(rs):
+    oB = oS[rs][:, None, :]; inB = invS[rs][:, None, :]
+    dp = d_posS[rs][:, None, :]; dz = d_zeroS[rs][:, None, :]
+    t_n = (np.where(dp, lo_b[None], hi_b[None]) - oB) * inB
+    t_f = (np.where(dp, hi_b[None], lo_b[None]) - oB) * inB
+    inside = (oB >= lo_b[None]) & (oB <= hi_b[None])
     t_n = np.where(dz, np.where(inside, -INF, INF), t_n)
     t_f = np.where(dz, np.where(inside, INF, -INF), t_f)
     near = t_n.max(axis=2); far = t_f.min(axis=2)
@@ -137,45 +138,11 @@ def intervals(rs):  # rays slice -> (nr, n_tiles) near_c, hit_box
     far_c = far + (np.abs(far) * 1e-4 + 1e-6)
     return near_c, (far_c >= near_c) & (far_c > 1e-6)
 
-# proxy seed: one tile's worth of the largest-area eligible triangles
-area2 = np.linalg.norm(np.asarray(scene.cross_e), axis=1) * np.asarray(m_mat)
-top = np.argsort(-area2)[:tile]
-ceP = jnp.asarray(np.asarray(scene.cross_e)[top])
-proxy = (jnp.asarray(np.asarray(scene.v0)[top]), jnp.asarray(np.asarray(scene.e1)[top]))
-
-@jax.jit
-def proxy_min_t(o_b, d_b, c_b):
-    ceT = ceP.T
-    e1T = jnp.asarray(np.asarray(scene.e1)[top]).T
-    e2T = jnp.asarray(np.asarray(scene.e2)[top]).T
-    wuT = jnp.asarray(np.asarray(scene.w_u)[top]).T
-    wvT = jnp.asarray(np.asarray(scene.w_v)[top]).T
-    d0T = jnp.asarray(np.asarray(scene.d0)[top])
-    det = -(d_b @ ceT); t_num = o_b @ ceT - d0T[None, :]
-    u_num = c_b @ e2T + d_b @ wuT
-    v_num = -(c_b @ e1T + d_b @ wvT)
-    sign = jnp.where(det >= 0.0, 1.0, -1.0)
-    abs_det = det * sign; un = u_num * sign; vn = v_num * sign
-    t_hit = t_num / det
-    margin = jnp.minimum(jnp.minimum(abs_det - 1e-7, un),
-                         jnp.minimum(vn, abs_det - (un + vn)))
-    ok = (margin >= 0.0) & (t_hit > 1e-6)
-    return jnp.min(jnp.where(ok, t_hit, INF), axis=1)
-
-seed_proxy = np.empty(N, np.float32)
-for r0 in range(0, N, RB):
-    seed_proxy[r0:r0 + RB] = np.asarray(proxy_min_t(
-        jnp.asarray(o[r0:r0 + RB]), jnp.asarray(d[r0:r0 + RB]),
-        jnp.asarray(c[r0:r0 + RB])))
-print(f"proxy capped frac={(seed_proxy<INF).mean():.3f} {time.time()-t0:.1f}s",
-      flush=True)
-
-# ---- simulate the gated sweep per block ----
 def simulate(seed_t):
     visited = 0
     crossings = 0
-    for b in range(n_blocks):
-        rs = slice(b * B, (b + 1) * B)
+    for bi, b in enumerate(blocks):
+        rs = slice(bi * B, (bi + 1) * B)
         near_c, hit_box = intervals(rs)
         crossings += hit_box.sum()
         best = seed_t[rs].copy() if seed_t is not None else np.full(B, INF, np.float32)
@@ -188,10 +155,9 @@ def simulate(seed_t):
     return visited, crossings
 
 for name, seed_t in [("current (no seed)", None),
-                     ("proxy-seeded (1 tile largest tris)", seed_proxy),
                      ("oracle-seeded (t_final)", t_final)]:
     v, x = simulate(seed_t)
-    tot = n_blocks * int(tiles_on.sum())
-    print(f"{name:38s} visited {v:8d} / {tot} = {v/tot:.3f}  "
-          f"(per-ray crossing {x/(N*int(tiles_on.sum())):.3f})", flush=True)
+    tot = len(blocks) * int(tiles_on.sum())
+    print(f"{name:30s} visited {v:8d} / {tot} = {v/tot:.4f}  "
+          f"(per-ray crossing {x/(NS*int(tiles_on.sum())):.4f})", flush=True)
 print(f"done {time.time()-t0:.1f}s")

@@ -313,7 +313,8 @@ def _gate_loop_bound(n_tiles: int, use_gate: bool, gate_group: int) -> int:
 
 
 def _sweep_kernel(
-    rays_ref, tris_ref, tiles_on_ref, aabb_ref, order_ref, code_ref, any_ref,
+    rays_ref, tris_ref, tiles_on_ref, aabb_ref, order_ref, counts_ref,
+    code_ref, any_ref,
     *, tri_tile: int, want_matrix: bool, want_any: bool, use_gate: bool,
     masks_baked: bool = False, gate_group: int = 1
 ):
@@ -323,6 +324,11 @@ def _sweep_kernel(
     inv = _ray_inv(rays) if use_gate else None
     order_row = pl.program_id(0) % 8  # order blocks are 8 grid rows tall
     src_tile, src_box = _gate_indexers(order_ref, order_row, use_gate, gate_group)
+    if use_gate:
+        # compacted visit list: only this block's statically-crossed boxes
+        # (sorted first in its order row) are enumerated — the tail could
+        # only ever fail the gate test (hit_box is a sub-predicate of need)
+        n_loop = counts_ref[order_row, 0] * gate_group
     # baked packs: the *primary* mask (m_any when any-hits are wanted, else
     # m_mat) is folded into zeroed cross_e rows; the secondary m_mat row
     # test survives only when both output types are wanted and differ
@@ -355,7 +361,8 @@ def _sweep_kernel(
 
 
 def _sweep_kernel_streamed(
-    rays_ref, tris_hbm, tiles_on_ref, aabb_ref, order_ref, code_ref, any_ref,
+    rays_ref, tris_hbm, tiles_on_ref, aabb_ref, order_ref, counts_ref,
+    code_ref, any_ref,
     *, tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool,
     use_gate: bool, masks_baked: bool = False, gate_group: int = 1
 ):
@@ -378,6 +385,10 @@ def _sweep_kernel_streamed(
     order_row = pl.program_id(0) % 8  # order blocks are 8 grid rows tall
     src_tile, src_box = _gate_indexers(order_ref, order_row, use_gate, gate_group)
     n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
+    # compacted visit list (see _gate_tables): the loop runs only over this
+    # block's statically-crossed boxes; n_loop stays the static in-bounds
+    # clamp for the DMA lookahead index
+    n_dyn = counts_ref[order_row, 0] * gate_group if use_gate else n_loop
     m_any_row = "baked" if masks_baked else None
     m_mat_row = "baked" if (masks_baked and not want_any) else None
 
@@ -436,7 +447,7 @@ def _sweep_kernel_streamed(
                 # still evaluate, and order/aabb reads at n_loop would be
                 # out of bounds on the last iteration.
                 j_next = jnp.minimum(j + 1, n_loop - 1)
-                start_next = (j + 1 < n_loop) & need(j_next, carry)
+                start_next = (j + 1 < n_dyn) & need(j_next, carry)
 
                 @pl.when(start_next)
                 def _():
@@ -463,7 +474,7 @@ def _sweep_kernel_streamed(
                 return (*new_carry, start_next.astype(jnp.int32))
 
             state = jax.lax.fori_loop(
-                0, n_loop, tile_body, (*init, started0.astype(jnp.int32))
+                0, n_dyn, tile_body, (*init, started0.astype(jnp.int32))
             )
             carry = state[:3]
 
@@ -487,8 +498,8 @@ def gate_group_size(n_tiles: int) -> int:
 
 def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
                  tile: int):
-    """(aabb SMEM table, per-block near-to-far visit order, group) for the
-    gate.
+    """(aabb SMEM table, per-block near-to-far visit order, per-block
+    crossed-box counts, group) for the gate.
 
     ``accel`` is the ACCEL_GRAIN-granularity (tile_lo, tile_hi) pair from
     prepared.pack_scene; boxes reduce to the sweep tile width, then — for
@@ -498,8 +509,24 @@ def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
     large scenes, the flat analogue of pruning a whole BVH subtree,
     reference: cpu_trace.py:243-250). Visit order sorts boxes by squared
     distance from each ray block's mean origin so best_t shrinks early and
-    far boxes get pruned. ``order`` comes back padded to 8-row blocks
-    (Mosaic sublane-divisibility).
+    far boxes get pruned.
+
+    COMPACTION: boxes no ray in the block statically crosses (the same
+    margined slab test the in-kernel gate applies, minus the carry terms)
+    sort to the END of the order row, and ``counts`` holds the number of
+    crossed boxes — the kernel loops only over those. Exact twice over:
+    (a) the visit SEQUENCE of crossed boxes is unchanged (stable argsort,
+    same distance keys), and (b) an excluded box's in-kernel gate test
+    could only ever be false — hit_box is a sub-predicate of ``need`` —
+    so the skipped iterations were guaranteed no-ops. The margins make
+    the slab test conservative against true intersections under any
+    faithful f32 evaluation, so XLA-vs-Mosaic ulp differences cannot drop
+    a contributing tile. (At 10M occluded tris ~95% of loop iterations
+    branched away after a gate test; the static union is ~38%, so
+    compaction removes ~62% of loop iterations outright.)
+
+    ``order``/``counts`` come back padded to 8-row blocks (Mosaic
+    sublane-divisibility).
     """
     from ..config import ACCEL_GRAIN
 
@@ -533,14 +560,52 @@ def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
                     cent[:, None, :] - hi[None, :, :]),
         0.0,
     )
-    order = jnp.argsort(jnp.sum(gap * gap, axis=2), axis=1).astype(jnp.int32)
+    dist2 = jnp.sum(gap * gap, axis=2)  # (n_blocks, n_boxes)
+
+    # static per-(block, box) crossing union — the kernel's hit_box test
+    # (_gate_need_rays) verbatim, vectorized; batched so the transient
+    # (blocks_per_step * ray_block, n_boxes) slabs stay a few MB
+    o3 = rays[0:3].reshape(3, n_blocks, ray_block).transpose(1, 2, 0)
+    d3 = rays[3:6].reshape(3, n_blocks, ray_block).transpose(1, 2, 0)
+
+    def block_union(args):
+        ob, db = args  # (B, 3)
+        dz = (jnp.abs(db) <= 1e-30)[:, None, :]
+        iv = (1.0 / jnp.where(dz[:, 0], 1.0, db))[:, None, :]
+        dp = (db >= 0.0)[:, None, :]
+        ob = ob[:, None, :]
+        lo_s, hi_s = lo[None, :, :], hi[None, :, :]
+        t_n = (jnp.where(dp, lo_s, hi_s) - ob) * iv
+        t_f = (jnp.where(dp, hi_s, lo_s) - ob) * iv
+        inside = (ob >= lo_s) & (ob <= hi_s)
+        t_n = jnp.where(dz, jnp.where(inside, -INF, INF), t_n)
+        t_f = jnp.where(dz, jnp.where(inside, INF, -INF), t_f)
+        near = jnp.max(t_n, axis=2)
+        far = jnp.min(t_f, axis=2)
+        near_c = near - (jnp.abs(near) * 1e-4 + 1e-6)
+        far_c = far + (jnp.abs(far) * 1e-4 + 1e-6)
+        return jnp.any((far_c >= near_c) & (far_c > 1e-6), axis=0)
+
+    per_step = max(1, min(n_blocks, (1 << 22) // max(ray_block * n_boxes, 1)))
+    crossed = jax.lax.map(block_union, (o3, d3), batch_size=per_step)
+
+    order = jnp.argsort(
+        jnp.where(crossed, dist2, jnp.inf), axis=1
+    ).astype(jnp.int32)
+    counts = jnp.sum(crossed, axis=1, dtype=jnp.int32)[:, None]
     n_blocks_pad = ((n_blocks + 7) // 8) * 8
-    return aabb, jnp.pad(order, ((0, n_blocks_pad - n_blocks), (0, 0))), group
+    pad_rows = n_blocks_pad - n_blocks
+    return (
+        aabb,
+        jnp.pad(order, ((0, pad_rows), (0, 0))),
+        jnp.pad(counts, ((0, pad_rows), (0, 0))),
+        group,
+    )
 
 
 def _sweep_kernel_sched(
     rays_ref, tris_ref, emap_ref, masks_hbm, tiles_on_ref, aabb_ref,
-    order_ref, code_ref, any_ref,
+    order_ref, counts_ref, code_ref, any_ref,
     *, tri_tile: int, want_matrix: bool, want_any: bool, use_gate: bool,
     per_emitter_tiles: bool, gate_group: int = 1,
 ):
@@ -558,6 +623,9 @@ def _sweep_kernel_sched(
     pid = pl.program_id(0)
     order_row = pid % 8  # order blocks are 8 grid rows tall
     src_tile, src_box = _gate_indexers(order_ref, order_row, use_gate, gate_group)
+    if use_gate:
+        # compacted visit list (see _gate_tables)
+        n_loop = counts_ref[order_row, 0] * gate_group
     e = emap_ref[0, pid]
     e_tiles = e if per_emitter_tiles else 0
 
@@ -602,7 +670,7 @@ def _sweep_kernel_sched(
 
 def _sweep_kernel_sched_streamed(
     rays_ref, tris_hbm, emap_ref, masks_hbm, tiles_on_ref, aabb_ref,
-    order_ref, code_ref, any_ref,
+    order_ref, counts_ref, code_ref, any_ref,
     *, tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool,
     use_gate: bool, per_emitter_tiles: bool, gate_group: int = 1,
 ):
@@ -619,6 +687,9 @@ def _sweep_kernel_sched_streamed(
     order_row = pid % 8
     src_tile, src_box = _gate_indexers(order_ref, order_row, use_gate, gate_group)
     n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
+    # compacted visit list (see _gate_tables); n_loop stays the static
+    # in-bounds clamp for the DMA lookahead index
+    n_dyn = counts_ref[order_row, 0] * gate_group if use_gate else n_loop
     e = emap_ref[0, pid]
     e_tiles = e if per_emitter_tiles else 0
 
@@ -689,7 +760,7 @@ def _sweep_kernel_sched_streamed(
                 # clamped lookahead: operands evaluate even under a false
                 # guard, and index n_loop would read out of bounds
                 j_next = jnp.minimum(j + 1, n_loop - 1)
-                start_next = (j + 1 < n_loop) & need(j_next, carry)
+                start_next = (j + 1 < n_dyn) & need(j_next, carry)
 
                 @pl.when(start_next)
                 def _():
@@ -706,7 +777,7 @@ def _sweep_kernel_sched_streamed(
                 return (*new_carry, start_next.astype(jnp.int32))
 
             state = jax.lax.fori_loop(
-                0, n_loop, tile_body, (*init, started0.astype(jnp.int32))
+                0, n_dyn, tile_body, (*init, started0.astype(jnp.int32))
             )
             carry = state[:3]
 
@@ -779,7 +850,7 @@ def sweep_rays_scheduled(
     )
     gate_group = 1
     if use_gate:
-        aabb, order, gate_group = _gate_tables(
+        aabb, order, counts, gate_group = _gate_tables(
             accel, rays, n_blocks, ray_block, n_tiles, tile
         )
         n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
@@ -788,6 +859,7 @@ def sweep_rays_scheduled(
     else:
         aabb = jnp.zeros((8, 128), jnp.float32)
         order = jnp.zeros((8, 128), jnp.int32)
+        counts = jnp.zeros((8, 1), jnp.int32)
 
     common = dict(
         tri_tile=tile,
@@ -831,6 +903,11 @@ def sweep_rays_scheduled(
                 (lambda i: (i // 8, 0)) if use_gate else (lambda i: (0, 0)),
                 memory_space=pltpu.SMEM,
             ),
+            pl.BlockSpec(
+                (8, 1),
+                (lambda i: (i // 8, 0)) if use_gate else (lambda i: (0, 0)),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=[out_block, out_block],
         out_shape=[
@@ -848,6 +925,7 @@ def sweep_rays_scheduled(
         tiles_on,
         aabb,
         order,
+        counts,
     )
     return codes.reshape(-1), any_hit.reshape(-1)
 
@@ -912,7 +990,7 @@ def sweep_rays(
     )
     gate_group = 1
     if use_gate:
-        aabb, order, gate_group = _gate_tables(
+        aabb, order, counts, gate_group = _gate_tables(
             accel, rays, n_blocks, ray_block, n_tiles, tile
         )
         n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
@@ -932,6 +1010,7 @@ def sweep_rays(
         grid = (n_blocks,)
         aabb = jnp.zeros((8, 128), jnp.float32)
         order = jnp.zeros((8, 128), jnp.int32)
+        counts = jnp.zeros((8, 1), jnp.int32)
 
     if stream_from_hbm:
         kernel = functools.partial(
@@ -981,6 +1060,11 @@ def sweep_rays(
                 (lambda i: (i // 8, 0)) if use_gate else (lambda i: (0, 0)),
                 memory_space=pltpu.SMEM,
             ),
+            pl.BlockSpec(
+                (8, 1),
+                (lambda i: (i // 8, 0)) if use_gate else (lambda i: (0, 0)),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=[out_block, out_block],
         out_shape=[
@@ -994,6 +1078,7 @@ def sweep_rays(
         tiles_on[None, :],
         aabb,
         order,
+        counts,
     )
     return codes.reshape(-1), any_hit.reshape(-1)
 

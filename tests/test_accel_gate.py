@@ -286,3 +286,43 @@ def test_gate_two_level_end_to_end(monkeypatch):
     monkeypatch.setattr(config, "GATE_MAX_TILES", 1)
     monkeypatch.setattr(config, "KERNEL", "pallas")
     assert view_factor_matrix(meshes, params=params_on) == base
+
+
+def test_gate_tables_compaction_counts_and_order():
+    """_gate_tables sorts each block's statically-crossed boxes first (near
+    to far) and reports their count — the kernels loop only over those.
+    Synthetic scene: four unit boxes at x = 0, 10, 20, 30."""
+    from raystrack_tpu.ops.trace_pallas import _gate_tables
+
+    tile = ACCEL_GRAIN  # one accel grain per tile: boxes ARE the tiles
+    n_tiles = 4
+    lo = np.array([[0, 0, 0], [10, 0, 0], [20, 0, 0], [30, 0, 0]], np.float32)
+    hi = lo + 1.0
+    accel = (jnp.asarray(lo), jnp.asarray(hi))
+
+    B = 8
+    blocks = []
+    # block 0: from x=-1 toward +x -> crosses all four, near-to-far 0,1,2,3
+    blocks.append((np.tile([[-1.0, 0.5, 0.5]], (B, 1)),
+                   np.tile([[1.0, 0.0, 0.0]], (B, 1))))
+    # block 1: from x=15 toward +x -> crosses only boxes 2 and 3
+    blocks.append((np.tile([[15.0, 0.5, 0.5]], (B, 1)),
+                   np.tile([[1.0, 0.0, 0.0]], (B, 1))))
+    # block 2: from x=-1 toward -x -> crosses nothing
+    blocks.append((np.tile([[-1.0, 0.5, 0.5]], (B, 1)),
+                   np.tile([[-1.0, 0.0, 0.0]], (B, 1))))
+    o = np.concatenate([b[0] for b in blocks])
+    d = np.concatenate([b[1] for b in blocks])
+    rays = jnp.asarray(
+        np.concatenate([o, d, np.cross(o, d)], axis=1).T.astype(np.float32)
+    )  # (9, 24)
+
+    aabb, order, counts, group = _gate_tables(accel, rays, 3, B, n_tiles, tile)
+    assert group == 1
+    counts = np.asarray(counts)[:3, 0]
+    order = np.asarray(order)
+    np.testing.assert_array_equal(counts, [4, 2, 0])
+    np.testing.assert_array_equal(order[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(order[1][:2], [2, 3])
+    # padded rows (Mosaic 8-row blocks) report zero crossed boxes
+    assert np.asarray(order).shape[0] == 8
