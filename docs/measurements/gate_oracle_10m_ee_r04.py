@@ -66,7 +66,7 @@ n_tiles = scene.v0.shape[0] // tile
 B = PALLAS_RAY_BLOCK
 n_blocks = N // B
 rays16 = np.concatenate([o, d, np.cross(o, d)], axis=-1).T
-aabb, _perm, order, _counts, group = _gate_tables(  # perm/counts added post-measurement (compacted/windowed gate)
+aabb, order, _counts, group = _gate_tables(
     jax.tree.map(jnp.asarray, accel), jnp.asarray(rays16), n_blocks, B, n_tiles, tile)
 aabb = np.asarray(aabb); order = np.asarray(order)
 print(f"tile={tile} n_tiles={n_tiles} group={group} blocks={n_blocks} "
@@ -105,8 +105,15 @@ def tile_min_t(o_b, d_b, c_b, ceT, e1T, e2T, wuT, wvT, d0T):
 
 ceN = np.asarray(ce); e1N = np.asarray(e1); e2N = np.asarray(e2)
 wuN = np.asarray(wu); wvN = np.asarray(wv); d0N = np.asarray(d0v)
-M = np.empty((NS, n_tiles), np.float32)
-for i in range(n_tiles):
+import os
+_cache = "/tmp/oracle10m_M.npz"
+if os.path.exists(_cache):
+    _z = np.load(_cache)
+    M = _z["M"]; assert M.shape == (NS, n_tiles)
+else:
+    M = np.empty((NS, n_tiles), np.float32)
+    _run_sweep = True
+for i in ([] if os.path.exists(_cache) else range(n_tiles)):
     lo, hi = i * tile, (i + 1) * tile
     ops = (jnp.asarray(ceN[lo:hi].T), jnp.asarray(e1N[lo:hi].T),
            jnp.asarray(e2N[lo:hi].T), jnp.asarray(wuN[lo:hi].T),
@@ -115,6 +122,8 @@ for i in range(n_tiles):
         jnp.asarray(oS), jnp.asarray(dS), jnp.asarray(cS), *ops))
     if i % 512 == 0:
         print(f"  tile {i}/{n_tiles} {time.time()-t0:.1f}s", flush=True)
+if not os.path.exists(_cache):
+    np.savez_compressed(_cache, M=M)
 t_final = M.min(axis=1)
 print(f"pair sweep done {time.time()-t0:.1f}s hit_frac={(t_final<INF).mean():.3f}",
       flush=True)
@@ -154,10 +163,59 @@ def simulate(seed_t):
                 np.minimum(best, M[rs, j], out=best)
     return visited, crossings
 
+def simulate_early_exit(check_every=1):
+    visited = 0
+    iters = 0
+    base_iters = 0
+    for bi, b in enumerate(blocks):
+        rs = slice(bi * B, (bi + 1) * B)
+        near_c, hit_box = intervals(rs)
+        best = np.full(B, INF, np.float32)
+        row = [j for j in order[b] if tiles_on[j]]
+        base_iters += len(row)
+        # static per-box bound: min over rays of near_c, +INF when uncrossed
+        minnear = np.where(hit_box[:, row].any(axis=0),
+                           np.where(hit_box[:, row], near_c[:, row], INF).min(axis=0),
+                           INF)
+        suffmin = np.minimum.accumulate(minnear[::-1])[::-1]
+        for p, j in enumerate(row):
+            if p % check_every == 0 and best.max() <= suffmin[p]:
+                break
+            iters += 1
+            if np.any(hit_box[:, j] & (near_c[:, j] < best)):
+                visited += 1
+                np.minimum(best, M[rs, j], out=best)
+    return visited, iters, base_iters
+
+
+def simulate_window(K):
+    visited = 0
+    for bi, b in enumerate(blocks):
+        rs = slice(bi * B, (bi + 1) * B)
+        near_c, hit_box = intervals(rs)
+        best = np.full(B, INF, np.float32)
+        row = [j for j in order[b] if tiles_on[j]]
+        for w0 in range(0, len(row), K):
+            win = row[w0:w0 + K]
+            flags = [np.any(hit_box[:, j] & (near_c[:, j] < best)) for j in win]
+            for j, f in zip(win, flags):
+                if f:
+                    visited += 1
+                    np.minimum(best, M[rs, j], out=best)
+    return visited
+
+tot = len(blocks) * int(tiles_on.sum())
 for name, seed_t in [("current (no seed)", None),
                      ("oracle-seeded (t_final)", t_final)]:
     v, x = simulate(seed_t)
-    tot = len(blocks) * int(tiles_on.sum())
     print(f"{name:30s} visited {v:8d} / {tot} = {v/tot:.4f}  "
           f"(per-ray crossing {x/(NS*int(tiles_on.sum())):.4f})", flush=True)
+for K in (4, 8, 16, 32):
+    v = simulate_window(K)
+    print(f"window K={K:2d} (stale-carry flags)  visited {v:8d} / {tot} = {v/tot:.4f}",
+          flush=True)
+for ce in (1, 8, 16):
+    v, it, base = simulate_early_exit(ce)
+    print(f"early-exit check_every={ce:2d}  visited {v:8d}  iters {it:8d} "
+          f"of {base} ({it/base:.3f})", flush=True)
 print(f"done {time.time()-t0:.1f}s")

@@ -66,7 +66,7 @@ n_tiles = scene.v0.shape[0] // tile
 B = PALLAS_RAY_BLOCK
 n_blocks = N // B
 rays16 = np.concatenate([o, d, np.cross(o, d)], axis=-1).T  # (9, N)
-aabb, order, _counts, group = _gate_tables(  # counts added post-measurement (compacted gate)
+aabb, _perm, order, _counts, group = _gate_tables(  # perm/counts added post-measurement (compacted/windowed gate)
     jax.tree.map(jnp.asarray, accel), jnp.asarray(rays16), n_blocks, B, n_tiles, tile)
 aabb = np.asarray(aabb); order = np.asarray(order)
 print(f"tile={tile} n_tiles={n_tiles} group={group} blocks={n_blocks} "

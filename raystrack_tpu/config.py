@@ -187,6 +187,16 @@ GATE_MAX_TILES = _env_int("RAYSTRACK_TPU_GATE_MAX_TILES", 8192)
 # prune).
 GATE_MAX_GROUP = _env_int("RAYSTRACK_TPU_GATE_MAX_GROUP", 64)
 
+# Gate-test window width (boxes per in-kernel bitmask evaluation; must
+# divide 128; 0 = per-box gate tests). Each per-box gate test costs a
+# vector->scalar sync (~1 us of serialized reduction + branch latency);
+# evaluating K boxes' slab tests in one (B, K) pass and folding them into
+# ONE int32 bitmask makes the skip path a scalar bit test. Decisions
+# within a window use the window-START carry — monotone-safe (a stale
+# carry only errs toward visiting), and measured +0.1% visits at K=32 on
+# the 10M city (docs/measurements/gate_oracle_10m_window_r04.txt).
+GATE_WINDOW = _env_int("RAYSTRACK_TPU_GATE_WINDOW", 16, minimum=0)
+
 __all__ = [
     "RAY_BLOCK",
     "TRI_TILE",

@@ -286,6 +286,68 @@ def _gate_needed(rays, inv, aabb_ref, i, carry, *, want_matrix, want_any):
     )
 
 
+def _gate_window_mask(rays, inv, wtab_ref, w, K, carry, *,
+                      want_matrix, want_any):
+    """(int32 bitmask, int32 done) of gate decisions for visit positions
+    w*K .. w*K+K-1.
+
+    ``wtab_ref`` is this block's (1, n_windows_pad, 128) VMEM gate table
+    (_gate_tables): row ``w`` packs the window's six K-wide AABB fields
+    plus the visit-order suffix-min near bound in STATIC lane positions —
+    window rows index the sublane dim because Mosaic rejects dynamic
+    LANE-offset slices (probed on hardware). The K slab tests vectorize
+    as (B, K) ops — the same math _gate_need_rays does per box, but with
+    ONE vector->scalar sync (the bitmask fold) per window instead of one
+    any-reduce per box. Decisions use the carry AT THE WINDOW BOUNDARY:
+    monotone-safe (the gate predicate only ever turns off as best_t
+    shrinks and any_hit fills, so a stale carry errs toward visiting — a
+    wasted DMA/math pass, never a missed one).
+
+    ``done`` = every ray's best_t is at or below the suffix bound (and
+    any_hit is settled when wanted): no remaining visit position can pass
+    the gate, so the caller breaks out of its loop. Exact — a box holding
+    a result-improving true hit keeps the bound strictly below that ray's
+    best_t (the margins absorb cross-backend rounding)."""
+    ox, oy, oz = rays[0], rays[1], rays[2]
+    best_t, _, any_hit = carry
+    row = wtab_ref[0, pl.ds(w, 1), :]  # (1, 128)
+    box = lambda r: row[:, r * K : (r + 1) * K]  # (1, K) static lanes
+
+    def axis(o_c, tpl, lo_s, hi_s):
+        d_zero, inv_c, d_pos = tpl
+        t_n = (jnp.where(d_pos, lo_s, hi_s) - o_c) * inv_c
+        t_f = (jnp.where(d_pos, hi_s, lo_s) - o_c) * inv_c
+        inside = (o_c >= lo_s) & (o_c <= hi_s)
+        t_n = jnp.where(d_zero, jnp.where(inside, -INF, INF), t_n)
+        t_f = jnp.where(d_zero, jnp.where(inside, INF, -INF), t_f)
+        return t_n, t_f
+
+    nx, fx = axis(ox, inv[0], box(0), box(3))
+    ny, fy = axis(oy, inv[1], box(1), box(4))
+    nz, fz = axis(oz, inv[2], box(2), box(5))
+    near = jnp.maximum(jnp.maximum(nx, ny), nz)
+    far = jnp.minimum(jnp.minimum(fx, fy), fz)
+    near_c = near - (jnp.abs(near) * 1e-4 + 1e-6)
+    far_c = far + (jnp.abs(far) * 1e-4 + 1e-6)
+    hit_box = (far_c >= near_c) & (far_c > 1e-6)  # (B, K)
+    need = jnp.zeros_like(hit_box)
+    if want_matrix:
+        need = hit_box & (near_c < best_t)
+    if want_any:
+        need = need | (hit_box & (any_hit == 0))
+    flags = jnp.any(need, axis=0, keepdims=True)  # (1, K)
+    pow2 = jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    )
+    mask = jnp.sum(jnp.where(flags, pow2, 0))
+
+    suffmin = jnp.sum(row[:, 6 * K : 6 * K + 1])
+    done = jnp.max(best_t) <= suffmin
+    if want_any:
+        done = done & (jnp.min(any_hit) > 0)
+    return mask, done.astype(jnp.int32)
+
+
 def _gate_indexers(order_ref, order_row, use_gate: bool, gate_group: int):
     """(tile index, gate-box index) getters for loop step j.
 
@@ -313,10 +375,10 @@ def _gate_loop_bound(n_tiles: int, use_gate: bool, gate_group: int) -> int:
 
 
 def _sweep_kernel(
-    rays_ref, tris_ref, tiles_on_ref, aabb_ref, order_ref, counts_ref,
-    code_ref, any_ref,
+    rays_ref, tris_ref, tiles_on_ref, aabb_ref, wtab_ref, order_ref,
+    counts_ref, code_ref, any_ref,
     *, tri_tile: int, want_matrix: bool, want_any: bool, use_gate: bool,
-    masks_baked: bool = False, gate_group: int = 1
+    masks_baked: bool = False, gate_group: int = 1, gate_window: int = 0
 ):
     n_tiles = tris_ref.shape[1] // tri_tile
     n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
@@ -342,29 +404,69 @@ def _sweep_kernel(
                           want_any=want_any,
                           m_any_row=m_any_row, m_mat_row=m_mat_row)
 
-    def guarded_body(j, carry):
-        # whole-tile skip: mask-culled tiles (Morton clustering makes culled
-        # regions contiguous) and, with the gate, tiles no ray can improve
-        i = src_tile(j)
-        needed = tiles_on_ref[0, i] > 0
-        if use_gate:
-            needed = needed & _gate_needed(
-                rays, inv, aabb_ref, src_box(j), carry,
-                want_matrix=want_matrix, want_any=want_any,
-            )
-        return jax.lax.cond(needed, lambda c: tile_math(i, c), lambda c: c, carry)
+    init = _sweep_init(rays[3])
+    if use_gate and gate_window:
+        # Windowed gate + early exit: one (B, K) slab pass per window
+        # folds K gate decisions into a bitmask (one vector->scalar sync
+        # per window instead of per box), and the window's suffix-min
+        # bound breaks the loop once no remaining box can pass.
+        K = gate_window
+        wmask = lambda w, c: _gate_window_mask(
+            rays, inv, wtab_ref, w, K, c,
+            want_matrix=want_matrix, want_any=want_any)
+        n_dyn = n_loop
 
-    best_t, best_code, any_hit = jax.lax.fori_loop(
-        0, n_loop, guarded_body, _sweep_init(rays[3])
-    )
+        def w_cond(state):
+            return (state[0] < n_dyn) & (state[5] == 0)
+
+        def w_body(state):
+            j, bt, bc, ah, mask, done = state
+            carry = (bt, bc, ah)
+            mask, done = jax.lax.cond(
+                j % K == 0, wmask, lambda w, c: (mask, done), j // K, carry
+            )
+            i = src_tile(j)
+            needed = (tiles_on_ref[0, i] > 0) & (
+                jnp.bitwise_and(jnp.right_shift(mask, j % K), 1) > 0
+            )
+            new_carry = jax.lax.cond(
+                needed, lambda c: tile_math(i, c), lambda c: c, carry
+            )
+            return (j + 1, *new_carry, mask, done)
+
+        state = jax.lax.while_loop(
+            w_cond, w_body,
+            (jnp.int32(0), *init, jnp.int32(0), jnp.int32(0)),
+        )
+        best_t, best_code, any_hit = state[1:4]
+    else:
+        def guarded_body(j, carry):
+            # whole-tile skip: mask-culled tiles (Morton clustering makes
+            # culled regions contiguous) and, with the gate, tiles no ray
+            # can improve
+            i = src_tile(j)
+            needed = tiles_on_ref[0, i] > 0
+            if use_gate:
+                needed = needed & _gate_needed(
+                    rays, inv, aabb_ref, src_box(j), carry,
+                    want_matrix=want_matrix, want_any=want_any,
+                )
+            return jax.lax.cond(
+                needed, lambda c: tile_math(i, c), lambda c: c, carry
+            )
+
+        best_t, best_code, any_hit = jax.lax.fori_loop(
+            0, n_loop, guarded_body, init
+        )
     _store_results(order_row, code_ref, any_ref, best_t, best_code, any_hit)
 
 
 def _sweep_kernel_streamed(
-    rays_ref, tris_hbm, tiles_on_ref, aabb_ref, order_ref, counts_ref,
-    code_ref, any_ref,
+    rays_ref, tris_hbm, tiles_on_ref, aabb_ref, wtab_ref, order_ref,
+    counts_ref, code_ref, any_ref,
     *, tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool,
-    use_gate: bool, masks_baked: bool = False, gate_group: int = 1
+    use_gate: bool, masks_baked: bool = False, gate_group: int = 1,
+    gate_window: int = 0
 ):
     """HBM-streaming variant: the operand pack stays in HBM and tile slices
     are double-buffered into VMEM scratch, so scene size is unbounded.
@@ -420,6 +522,77 @@ def _sweep_kernel_streamed(
             carry = jax.lax.fori_loop(
                 0, n_tiles, tile_body, _sweep_init(rays[3])
             )
+        elif use_gate and gate_window:
+            # Windowed gate + early exit: decisions for K visit positions
+            # come from ONE (B, K) slab pass folded into an int32 bitmask
+            # (one vector->scalar sync per window instead of per box); the
+            # skip path is a scalar bit test + branch, and the window's
+            # suffix-min bound breaks the loop once no remaining box can
+            # pass. Window decisions use the window-boundary carry —
+            # monotone-safe, measured +0.1% visits at K=32
+            # (docs/measurements/gate_oracle_10m_window_r04.txt).
+            K = gate_window
+            init = _sweep_init(rays[3])
+            wmask = lambda w, c: _gate_window_mask(
+                rays, inv, wtab_ref, w, K, c,
+                want_matrix=want_matrix, want_any=want_any)
+            bit = lambda m, j: jnp.bitwise_and(jnp.right_shift(m, j % K), 1) > 0
+            tiles_ok = lambda j: tiles_on_ref[0, src_tile(j)] > 0
+
+            # n_dyn == 0 would make even reading window 0 out of bounds
+            mask0, done0 = jax.lax.cond(
+                n_dyn > 0, wmask,
+                lambda w, c: (jnp.int32(0), jnp.int32(1)), 0, init,
+            )
+            started0 = bit(mask0, 0) & tiles_ok(0)
+
+            @pl.when(started0)
+            def _():
+                tile_dma(0, 0).start()
+
+            def w_cond(state):
+                return (state[0] < n_dyn) & (state[6] == 0)
+
+            def w_body(state):
+                j, bt, bc, ah, started_i, mask, done = state
+                carry = (bt, bc, ah)
+                started = started_i > 0
+                slot = j % 2
+                j_next = jnp.minimum(j + 1, n_loop - 1)
+                # refresh at window boundaries (guarded by n_dyn: a
+                # boundary at the loop end would slice past the table)
+                mask, done = jax.lax.cond(
+                    ((j + 1) % K == 0) & (j + 1 < n_dyn),
+                    wmask, lambda w, c: (mask, done), (j + 1) // K, carry,
+                )
+                start_next = (j + 1 < n_dyn) & bit(mask, j + 1) & tiles_ok(j_next)
+
+                @pl.when(start_next)
+                def _():
+                    tile_dma((j + 1) % 2, j_next).start()
+
+                @pl.when(started)
+                def _():
+                    tile_dma(slot, j).wait()
+
+                row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
+                new_carry = jax.lax.cond(
+                    started,
+                    lambda c: _tile_step(rays, row, c, want_matrix=want_matrix,
+                                         want_any=want_any,
+                                         m_any_row=m_any_row,
+                                         m_mat_row=m_mat_row),
+                    lambda c: c,
+                    carry,
+                )
+                return (j + 1, *new_carry, start_next.astype(jnp.int32),
+                        mask, done)
+
+            state = jax.lax.while_loop(
+                w_cond, w_body,
+                (jnp.int32(0), *init, started0.astype(jnp.int32), mask0, done0),
+            )
+            carry = state[1:4]
         else:
             def need(j, carry):
                 return (tiles_on_ref[0, src_tile(j)] > 0) & _gate_needed(
@@ -496,10 +669,29 @@ def gate_group_size(n_tiles: int) -> int:
     return -(-n_tiles // GATE_MAX_TILES)
 
 
+def _resolve_gate_window(gate_group: int) -> int:
+    """Window width for the bitmask gate, or 0 for per-box gate tests.
+
+    Windowing currently applies only at gate_group == 1 (per-tile boxes;
+    group mode enumerates member tiles per box and would need group-aware
+    bit indexing). A window's six K-wide AABB fields plus its suffix-min
+    bound live in one 128-lane row (6K + 1 <= 128 -> K <= 21; kept to
+    powers of two, so 8 or 16)."""
+    from ..config import GATE_WINDOW
+
+    k = GATE_WINDOW
+    if gate_group != 1 or k <= 1:
+        return 0
+    if k not in (8, 16):
+        return 16
+    return k
+
+
 def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
-                 tile: int):
-    """(aabb SMEM table, per-block near-to-far visit order, per-block
-    crossed-box counts, group) for the gate.
+                 tile: int, window: int = 0):
+    """(aabb SMEM table, per-block windowed VMEM gate table, per-block
+    near-to-far visit order, per-block crossed-box counts, group) for the
+    gate.
 
     ``accel`` is the ACCEL_GRAIN-granularity (tile_lo, tile_hi) pair from
     prepared.pack_scene; boxes reduce to the sweep tile width, then — for
@@ -584,19 +776,74 @@ def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
         far = jnp.min(t_f, axis=2)
         near_c = near - (jnp.abs(near) * 1e-4 + 1e-6)
         far_c = far + (jnp.abs(far) * 1e-4 + 1e-6)
-        return jnp.any((far_c >= near_c) & (far_c > 1e-6), axis=0)
+        hit = (far_c >= near_c) & (far_c > 1e-6)  # (B, n_boxes)
+        # per-box min near_c over CROSSING rays: the early-exit bound
+        # (+INF when no ray crosses)
+        return jnp.any(hit, axis=0), jnp.min(
+            jnp.where(hit, near_c, INF), axis=0
+        )
 
     per_step = max(1, min(n_blocks, (1 << 22) // max(ray_block * n_boxes, 1)))
-    crossed = jax.lax.map(block_union, (o3, d3), batch_size=per_step)
+    crossed, minnear = jax.lax.map(block_union, (o3, d3), batch_size=per_step)
 
     order = jnp.argsort(
         jnp.where(crossed, dist2, jnp.inf), axis=1
     ).astype(jnp.int32)
     counts = jnp.sum(crossed, axis=1, dtype=jnp.int32)[:, None]
+
+    wtab = None
+    if window:
+        # Windowed VMEM gate table: one 128-lane row per K-box window of
+        # the block's visit order, lanes
+        #   [lo_x(K) | lo_y | lo_z | hi_x | hi_y | hi_z | suffmin | pad]
+        # (window rows index the SUBLANE dim — Mosaic rejects dynamic
+        # LANE-offset slices, probed on hardware). Pad boxes are empty
+        # (lo=+BIG, hi=-BIG: hit_box always false) with +INF minnear.
+        # suffmin[w] = min over visit positions >= w*K of the box's
+        # min-crossing-ray near_c — once every ray's best_t is at or
+        # below it (and any_hit is settled), no remaining box can pass
+        # the gate and the kernel breaks out of the visit loop. Exact:
+        # a box holding a true hit at t* < some best_t has
+        # minnear <= near_c(ray) < t* margin-strictly, so the bound
+        # cannot exit past a result-contributing box.
+        K = window
+        n_w = -(-n_boxes // K)
+        n_w_pad = ((n_w + 7) // 8) * 8
+        pad_b = n_w * K - n_boxes
+        big = jnp.float32(3.0e37)
+
+        lo_p = jnp.take(lo, order, axis=0)  # (n_blocks, n_boxes, 3)
+        hi_p = jnp.take(hi, order, axis=0)
+        mn_p = jnp.take_along_axis(minnear, order, axis=1)
+        lo_p = jnp.pad(lo_p, ((0, 0), (0, pad_b), (0, 0)),
+                       constant_values=big)
+        hi_p = jnp.pad(hi_p, ((0, 0), (0, pad_b), (0, 0)),
+                       constant_values=-big)
+        mn_p = jnp.pad(mn_p, ((0, 0), (0, pad_b)), constant_values=INF)
+        suffix = jax.lax.associative_scan(
+            jnp.minimum, mn_p, reverse=True, axis=1
+        )
+        fields = jnp.concatenate(
+            [
+                lo_p.reshape(n_blocks, n_w, K, 3).transpose(0, 1, 3, 2)
+                .reshape(n_blocks, n_w, 3 * K),
+                hi_p.reshape(n_blocks, n_w, K, 3).transpose(0, 1, 3, 2)
+                .reshape(n_blocks, n_w, 3 * K),
+                suffix[:, ::K][:, :, None],  # window-start suffix bound
+            ],
+            axis=2,
+        )  # (n_blocks, n_w, 6K + 1)
+        wtab = jnp.pad(
+            fields,
+            ((0, 0), (0, n_w_pad - n_w), (0, 128 - 6 * K - 1)),
+            constant_values=INF,
+        )
+
     n_blocks_pad = ((n_blocks + 7) // 8) * 8
     pad_rows = n_blocks_pad - n_blocks
     return (
         aabb,
+        wtab,
         jnp.pad(order, ((0, pad_rows), (0, 0))),
         jnp.pad(counts, ((0, pad_rows), (0, 0))),
         group,
@@ -605,9 +852,9 @@ def _gate_tables(accel, rays, n_blocks: int, ray_block: int, n_tiles: int,
 
 def _sweep_kernel_sched(
     rays_ref, tris_ref, emap_ref, masks_hbm, tiles_on_ref, aabb_ref,
-    order_ref, counts_ref, code_ref, any_ref,
+    wtab_ref, order_ref, counts_ref, code_ref, any_ref,
     *, tri_tile: int, want_matrix: bool, want_any: bool, use_gate: bool,
-    per_emitter_tiles: bool, gate_group: int = 1,
+    per_emitter_tiles: bool, gate_group: int = 1, gate_window: int = 0,
 ):
     """Scheduled (multi-emitter) resident sweep: one dispatch spans blocks of
     DIFFERENT emitters. ``emap_ref`` (SMEM) maps each grid block to its
@@ -644,21 +891,55 @@ def _sweep_kernel_sched(
                 m_any_row=comb, m_mat_row=lambda: comb() - 1.0,
             )
 
-        def guarded_body(j, carry):
-            i = src_tile(j)
-            needed = tiles_on_ref[e_tiles, i] > 0
-            if use_gate:
-                needed = needed & _gate_needed(
-                    rays, inv, aabb_ref, src_box(j), carry,
-                    want_matrix=want_matrix, want_any=want_any,
-                )
-            return jax.lax.cond(
-                needed, lambda c: tile_math(i, c), lambda c: c, carry
-            )
+        init = _sweep_init(rays[3])
+        if use_gate and gate_window:
+            # windowed gate + early exit — see _sweep_kernel
+            K = gate_window
+            wmask = lambda w, c: _gate_window_mask(
+                rays, inv, wtab_ref, w, K, c,
+                want_matrix=want_matrix, want_any=want_any)
+            n_dyn = n_loop
 
-        best_t, best_code, any_hit = jax.lax.fori_loop(
-            0, n_loop, guarded_body, _sweep_init(rays[3])
-        )
+            def w_cond(state):
+                return (state[0] < n_dyn) & (state[5] == 0)
+
+            def w_body(state):
+                j, bt, bc, ah, mask, done = state
+                carry = (bt, bc, ah)
+                mask, done = jax.lax.cond(
+                    j % K == 0, wmask, lambda w, c: (mask, done),
+                    j // K, carry,
+                )
+                i = src_tile(j)
+                needed = (tiles_on_ref[e_tiles, i] > 0) & (
+                    jnp.bitwise_and(jnp.right_shift(mask, j % K), 1) > 0
+                )
+                new_carry = jax.lax.cond(
+                    needed, lambda c: tile_math(i, c), lambda c: c, carry
+                )
+                return (j + 1, *new_carry, mask, done)
+
+            state = jax.lax.while_loop(
+                w_cond, w_body,
+                (jnp.int32(0), *init, jnp.int32(0), jnp.int32(0)),
+            )
+            best_t, best_code, any_hit = state[1:4]
+        else:
+            def guarded_body(j, carry):
+                i = src_tile(j)
+                needed = tiles_on_ref[e_tiles, i] > 0
+                if use_gate:
+                    needed = needed & _gate_needed(
+                        rays, inv, aabb_ref, src_box(j), carry,
+                        want_matrix=want_matrix, want_any=want_any,
+                    )
+                return jax.lax.cond(
+                    needed, lambda c: tile_math(i, c), lambda c: c, carry
+                )
+
+            best_t, best_code, any_hit = jax.lax.fori_loop(
+                0, n_loop, guarded_body, init
+            )
         _store_results(order_row, code_ref, any_ref, best_t, best_code, any_hit)
 
     pl.run_scoped(
@@ -670,9 +951,10 @@ def _sweep_kernel_sched(
 
 def _sweep_kernel_sched_streamed(
     rays_ref, tris_hbm, emap_ref, masks_hbm, tiles_on_ref, aabb_ref,
-    order_ref, counts_ref, code_ref, any_ref,
+    wtab_ref, order_ref, counts_ref, code_ref, any_ref,
     *, tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool,
     use_gate: bool, per_emitter_tiles: bool, gate_group: int = 1,
+    gate_window: int = 0,
 ):
     """HBM-streaming scheduled sweep: operand pack AND the (E, Tpad) combined
     mask table stay in HBM; the block's emitter mask tile is double-buffered
@@ -739,6 +1021,61 @@ def _sweep_kernel_sched_streamed(
             carry = jax.lax.fori_loop(
                 0, n_tiles, tile_body, _sweep_init(rays[3])
             )
+        elif use_gate and gate_window:
+            # windowed gate + early exit — see _sweep_kernel_streamed
+            K = gate_window
+            init = _sweep_init(rays[3])
+            wmask = lambda w, c: _gate_window_mask(
+                rays, inv, wtab_ref, w, K, c,
+                want_matrix=want_matrix, want_any=want_any)
+            bit = lambda m, j: jnp.bitwise_and(jnp.right_shift(m, j % K), 1) > 0
+            tiles_ok = lambda j: tiles_on_ref[e_tiles, src_tile(j)] > 0
+
+            mask0, done0 = jax.lax.cond(
+                n_dyn > 0, wmask,
+                lambda w, c: (jnp.int32(0), jnp.int32(1)), 0, init,
+            )
+            started0 = bit(mask0, 0) & tiles_ok(0)
+
+            @pl.when(started0)
+            def _():
+                start_pair(0, 0)
+
+            def w_cond(state):
+                return (state[0] < n_dyn) & (state[6] == 0)
+
+            def w_body(state):
+                j, bt, bc, ah, started_i, mask, done = state
+                carry = (bt, bc, ah)
+                started = started_i > 0
+                slot = j % 2
+                j_next = jnp.minimum(j + 1, n_loop - 1)
+                mask, done = jax.lax.cond(
+                    ((j + 1) % K == 0) & (j + 1 < n_dyn),
+                    wmask, lambda w, c: (mask, done), (j + 1) // K, carry,
+                )
+                start_next = (j + 1 < n_dyn) & bit(mask, j + 1) & tiles_ok(j_next)
+
+                @pl.when(start_next)
+                def _():
+                    start_pair((j + 1) % 2, j_next)
+
+                @pl.when(started)
+                def _():
+                    tile_dma(slot, j).wait()
+                    mask_dma(slot, j).wait()
+
+                new_carry = jax.lax.cond(
+                    started, lambda c: step_with(slot, c), lambda c: c, carry
+                )
+                return (j + 1, *new_carry, start_next.astype(jnp.int32),
+                        mask, done)
+
+            state = jax.lax.while_loop(
+                w_cond, w_body,
+                (jnp.int32(0), *init, started0.astype(jnp.int32), mask0, done0),
+            )
+            carry = state[1:4]
         else:
             def need(j, carry):
                 return (tiles_on_ref[e_tiles, src_tile(j)] > 0) & _gate_needed(
@@ -849,9 +1186,12 @@ def sweep_rays_scheduled(
         and gate_group_size(n_tiles) <= GATE_MAX_GROUP
     )
     gate_group = 1
+    gate_window = 0
     if use_gate:
-        aabb, order, counts, gate_group = _gate_tables(
-            accel, rays, n_blocks, ray_block, n_tiles, tile
+        gate_window = _resolve_gate_window(gate_group_size(n_tiles))
+        aabb, wtab, order, counts, gate_group = _gate_tables(
+            accel, rays, n_blocks, ray_block, n_tiles, tile,
+            window=gate_window,
         )
         n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
         if n_loop > n_tiles:  # phantom group-padding tiles: never active
@@ -860,6 +1200,8 @@ def sweep_rays_scheduled(
         aabb = jnp.zeros((8, 128), jnp.float32)
         order = jnp.zeros((8, 128), jnp.int32)
         counts = jnp.zeros((8, 1), jnp.int32)
+    if not gate_window:  # dummy: the kernels never read wtab in this mode
+        wtab = jnp.zeros((1, 8, 128), jnp.float32)
 
     common = dict(
         tri_tile=tile,
@@ -868,6 +1210,7 @@ def sweep_rays_scheduled(
         use_gate=use_gate,
         per_emitter_tiles=per_emitter_tiles,
         gate_group=gate_group,
+        gate_window=gate_window,
     )
     if stream_from_hbm:
         kernel = functools.partial(
@@ -899,6 +1242,11 @@ def sweep_rays_scheduled(
             smem(tiles_on.shape),
             smem(aabb.shape),
             pl.BlockSpec(
+                (1,) + wtab.shape[1:],
+                (lambda i: (i, 0, 0)) if gate_window else (lambda i: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
                 (8, order.shape[1]),
                 (lambda i: (i // 8, 0)) if use_gate else (lambda i: (0, 0)),
                 memory_space=pltpu.SMEM,
@@ -924,6 +1272,7 @@ def sweep_rays_scheduled(
         masks[:, None, :],
         tiles_on,
         aabb,
+        wtab,
         order,
         counts,
     )
@@ -989,9 +1338,12 @@ def sweep_rays(
         and gate_group_size(n_tiles) <= GATE_MAX_GROUP
     )
     gate_group = 1
+    gate_window = 0
     if use_gate:
-        aabb, order, counts, gate_group = _gate_tables(
-            accel, rays, n_blocks, ray_block, n_tiles, tile
+        gate_window = _resolve_gate_window(gate_group_size(n_tiles))
+        aabb, wtab, order, counts, gate_group = _gate_tables(
+            accel, rays, n_blocks, ray_block, n_tiles, tile,
+            window=gate_window,
         )
         n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
         if n_loop > n_tiles:  # phantom group-padding tiles: never active
@@ -1011,6 +1363,8 @@ def sweep_rays(
         aabb = jnp.zeros((8, 128), jnp.float32)
         order = jnp.zeros((8, 128), jnp.int32)
         counts = jnp.zeros((8, 1), jnp.int32)
+    if not gate_window:  # dummy: the kernels never read wtab in this mode
+        wtab = jnp.zeros((1, 8, 128), jnp.float32)
 
     if stream_from_hbm:
         kernel = functools.partial(
@@ -1022,6 +1376,7 @@ def sweep_rays(
             use_gate=use_gate,
             masks_baked=masks_baked,
             gate_group=gate_group,
+            gate_window=gate_window,
         )
         tris_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
@@ -1033,6 +1388,7 @@ def sweep_rays(
             use_gate=use_gate,
             masks_baked=masks_baked,
             gate_group=gate_group,
+            gate_window=gate_window,
         )
         tris_spec = pl.BlockSpec(
             (TRI_ROWS, n_tri_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -1052,6 +1408,11 @@ def sweep_rays(
             tris_spec,
             smem((1, int(tiles_on.shape[0]))),
             smem(aabb.shape),
+            pl.BlockSpec(
+                (1,) + wtab.shape[1:],
+                (lambda i: (i, 0, 0)) if gate_window else (lambda i: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
             # per-block visit order: 8-row-tall blocks (Mosaic requires
             # sublane-dim block sizes divisible by 8); the kernel picks its
             # row via program_id % 8
@@ -1077,6 +1438,7 @@ def sweep_rays(
         tri_pack,
         tiles_on[None, :],
         aabb,
+        wtab,
         order,
         counts,
     )

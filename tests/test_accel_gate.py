@@ -317,7 +317,7 @@ def test_gate_tables_compaction_counts_and_order():
         np.concatenate([o, d, np.cross(o, d)], axis=1).T.astype(np.float32)
     )  # (9, 24)
 
-    aabb, order, counts, group = _gate_tables(accel, rays, 3, B, n_tiles, tile)
+    aabb, perm, order, counts, group = _gate_tables(accel, rays, 3, B, n_tiles, tile)
     assert group == 1
     counts = np.asarray(counts)[:3, 0]
     order = np.asarray(order)
