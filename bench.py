@@ -77,6 +77,37 @@ def _remaining() -> float:
     return _BUDGET_S - (time.monotonic() - _START)
 
 
+def _cache_warm() -> bool:
+    """True when the persistent compile cache already holds real entries.
+
+    Cold-cost estimates assume every program AOT-compiles from scratch;
+    with a warm cache (any prior bench/solve/tpu_smoke run on this machine)
+    the real cost is ~3x lower, and round 4's driver run skipped the
+    district and 10M-city points purely because the estimates ignored this.
+    """
+    try:
+        import jax
+
+        d = jax.config.jax_compilation_cache_dir
+        if not d:
+            return False
+        n = sum(1 for _ in Path(os.path.expanduser(d)).iterdir())
+        return n >= 20
+    except Exception:
+        return False
+
+
+_WARM_SCALE = None
+
+
+def _est(cold_s: float) -> float:
+    """Cache-aware cost estimate for a secondary stage."""
+    global _WARM_SCALE
+    if _WARM_SCALE is None:
+        _WARM_SCALE = (1.0 / 3.0) if _cache_warm() else 1.0
+    return cold_s * _WARM_SCALE
+
+
 def _note(msg: str) -> None:
     print(f"# {msg}", flush=True)
 
@@ -141,16 +172,24 @@ def _city(n_tri: int, extent: float = 100.0, seed: int = 0):
     box_f = np.array([[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],
                       [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],
                       [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0]], np.int32)
-    verts, faces = [], []
-    for i in range(n_boxes):
-        x0, y0 = cx[i] - w[i]
-        x1, y1 = cx[i] + w[i]
-        vs = np.array([[x0, y0, 0.05], [x1, y0, 0.05], [x1, y1, 0.05],
-                       [x0, y1, 0.05], [x0, y0, h[i]], [x1, y0, h[i]],
-                       [x1, y1, h[i]], [x0, y1, h[i]]], np.float32)
-        verts.append(vs)
-        faces.append(box_f + 8 * i)
-    return [("ground", V, F), ("city", np.concatenate(verts), np.concatenate(faces))]
+    # Vectorized box assembly (identical values to the old per-box loop —
+    # the rng draws are unchanged and f32 rounding happens at the same
+    # point); the loop was the wall-clock bottleneck past ~1e7 triangles
+    # and made the 1e8 demonstration impractical.
+    x0, y0 = (cx - w).T.astype(np.float32)
+    x1, y1 = (cx + w).T.astype(np.float32)
+    h32 = h.astype(np.float32)
+    vs = np.empty((n_boxes, 8, 3), np.float32)
+    vs[:, (0, 3, 4, 7), 0] = x0[:, None]
+    vs[:, (1, 2, 5, 6), 0] = x1[:, None]
+    vs[:, (0, 1, 4, 5), 1] = y0[:, None]
+    vs[:, (2, 3, 6, 7), 1] = y1[:, None]
+    vs[:, :4, 2] = np.float32(0.05)
+    vs[:, 4:, 2] = h32[:, None]
+    faces = (box_f[None, :, :]
+             + 8 * np.arange(n_boxes, dtype=np.int32)[:, None, None])
+    return [("ground", V, F),
+            ("city", vs.reshape(-1, 3), faces.reshape(-1, 3))]
 
 
 def _headline():
@@ -237,10 +276,15 @@ def _city_curve(calibrate: bool = False):
     est_cold = {10_000: 45, 100_000: 50, 1_000_000: 75, 10_000_000: 90}
     points = {}
     new_cal = {}
-    for n_tri in (10_000, 100_000, 1_000_000, 10_000_000):
-        need = est_cold[n_tri] * (3 if calibrate and n_tri >= 10_000_000 else 1)
+    # The flagship gated 10M point runs FIRST so a tight budget can never
+    # drop it in favor of the cheap sizes (round 4's artifact lost exactly
+    # this point to the old cheap-first order).
+    for n_tri in (10_000_000, 1_000_000, 100_000, 10_000):
+        need = _est(est_cold[n_tri]) * (
+            3 if calibrate and n_tri >= 10_000_000 else 1)
         if _remaining() < need:
-            _note(f"city[{n_tri}] skipped: {_remaining():.0f}s left < {need}s est")
+            _note(f"city[{n_tri}] skipped: {_remaining():.0f}s left "
+                  f"< {need:.0f}s est")
             continue
         t0 = time.monotonic()
         entry = _city_point(n_tri, calibrate=calibrate, expected=expected)
@@ -389,8 +433,9 @@ def _regressions(result: dict) -> list:
 
 def _stage(name: str, est_cold_s: float, fn, default=None):
     """Run one secondary under the global budget; never raise."""
-    if _remaining() < est_cold_s:
-        _note(f"{name} skipped: {_remaining():.0f}s left < {est_cold_s}s est")
+    need = _est(est_cold_s)
+    if _remaining() < need:
+        _note(f"{name} skipped: {_remaining():.0f}s left < {need:.0f}s est")
         return default
     t0 = time.monotonic()
     try:
@@ -449,16 +494,25 @@ def main():
         "device": str(jax.devices()[0]),
     }
     # The headline must be on disk before any secondary can stall: print the
-    # guaranteed-valid line now, the enriched line at the end.
+    # guaranteed-valid line now, then re-print the enriched line after EVERY
+    # stage so a hard kill mid-run still leaves everything finished so far
+    # on the last line.
     print(json.dumps(result), flush=True)
+    _note(f"cache {'warm' if _cache_warm() else 'cold'}: "
+          f"secondary estimates x{_est(1.0):.2f}")
 
+    # Flagship secondaries first (district solve, then the city curve with
+    # its 10M point leading) so a tight budget drops the cheap anchors, not
+    # the headline claims.
+    result["district_97_emitters_solve_s"] = _stage(
+        "district", 100, _district_solve)
+    print(json.dumps(result), flush=True)
+    result["occluded_city_rays_per_sec"] = _stage(
+        "city curve", 90, lambda: _city_curve(calibrate))
+    print(json.dumps(result), flush=True)
     canyon_plates = _stage("canyon+plates", 90, _canyon_and_plates,
                            default=(None, None))
     result["canyon_solve_s"], result["parallel_plates_abs_err"] = canyon_plates
-    result["district_97_emitters_solve_s"] = _stage(
-        "district", 100, _district_solve)
-    result["occluded_city_rays_per_sec"] = _stage(
-        "city curve", 45, lambda: _city_curve(calibrate))
 
     regressions = _regressions(result)
     if regressions:

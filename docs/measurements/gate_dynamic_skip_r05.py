@@ -91,7 +91,7 @@ n_tiles = scene.v0.shape[0] // tile
 B = PALLAS_RAY_BLOCK
 n_blocks = N // B
 rays16 = np.concatenate([o, d, np.cross(o, d)], axis=-1).T
-aabb, order, counts, group = _gate_tables(
+aabb, _wtab, order, counts, group = _gate_tables(
     jax.tree.map(jnp.asarray, accel), jnp.asarray(rays16),
     n_blocks, B, n_tiles, tile)
 aabb = np.asarray(aabb)

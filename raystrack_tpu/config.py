@@ -167,6 +167,25 @@ SCHED_PRECOMPILE = _env_int("RAYSTRACK_TPU_SCHED_PRECOMPILE", 1, minimum=0)
 # planning the next).
 SCHED_PIPELINE = _env_int("RAYSTRACK_TPU_SCHED_PIPELINE", 1, minimum=0)
 
+# Fused multi-round dispatch: the scheduled driver plans up to this many
+# consecutive convergence rounds — each from the hypothetical "previous
+# round consumed, nothing converged, projections unmoved" position, the
+# same hypothetical round pipelining already dispatches from — and fuses
+# them into ONE device program per dispatch. Fewer dispatches = fewer
+# per-RPC floors; the cost is speculative compute for emitters that
+# converge at an earlier fused checkpoint (their later iterations are
+# discarded by the exact replay, results bitwise unchanged).
+# MEASURED OFF (round 5, v5e through the remote tunnel, warm cache):
+# canyon 0.347 s unfused -> 0.366 s fused x4 / 0.367 s x8; district
+# 0.491 s -> 0.784 s x4 -> 1.095 s x8. Round pipelining (SCHED_PIPELINE)
+# already overlaps the RPC floor with device compute AND can drop
+# converged-in-flight overshoot rounds without fetching them; fusing
+# welds that overshoot into the round whose results the host must wait
+# for, so deeper fusing only adds blocking speculative work. 0 = auto
+# (currently: no fusing anywhere). The knob remains for links whose
+# per-dispatch latency dwarfs a round's compute.
+SCHED_FUSE_ROUNDS = _env_int("RAYSTRACK_TPU_SCHED_FUSE_ROUNDS", 0, minimum=0)
+
 # Distance-gate SMEM capacity, in gate BOXES (the AABB/order tables live in
 # scalar memory; 8192 boxes = ~512 KB of SMEM tables — compiles and runs
 # fine on v5e, and a 16384-box table also compiles). Scenes whose tile

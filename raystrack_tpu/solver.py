@@ -1013,8 +1013,18 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         if series:
             _sched_precompile(fn, args, kw, series)
 
+    # Fused multi-round dispatch (config.SCHED_FUSE_ROUNDS): plan several
+    # consecutive convergence rounds into one schedule. Each fused round is
+    # planned from the same hypothetical position pipelining uses (previous
+    # round consumed, nothing converged, projections unmoved) — itr_next
+    # advances as rounds are assembled, so the plans chain exactly.
+    # Measured SLOWER than round pipelining on the tunnel v5e (see
+    # config.py:SCHED_FUSE_ROUNDS for the numbers), so auto = no fusing;
+    # the knob remains for extreme-latency links.
+    fuse_rounds = _cfg.SCHED_FUSE_ROUNDS or 1
+
     def build_round(pending):
-        """Plan the next convergence round over ``pending`` and dispatch it
+        """Plan the next convergence round(s) over ``pending`` and dispatch
         (async). Returns (device output, plan, nb) or None when no entry has
         plannable work. Advances each planned entry's ``run.itr_next``."""
         # vectorized schedule assembly: under round pipelining this host
@@ -1026,34 +1036,41 @@ def _drive_scheduled(entries, prepared_solver, p, flip_faces, align,
         n_cps = 0
         plan: List[Tuple] = []  # (entry, start_row, bpi, n_iters)
         round_rows: Dict[int, int] = {}  # global emitter idx -> local row
-        for entry in pending:
-            run = entry["run"]
-            e = entry["idx"]
-            bpi = int(n_pad[e]) // RAY_BLOCK
-            if n_rows and n_rows + bpi > max_blocks:
-                # not even one iteration fits this round; the entry stays
-                # pending and leads the next round (rounds never overshoot
-                # max_blocks, which for Pallas bounds materialized rays)
-                continue
-            budget = max(1, (max_blocks - n_rows) // max(1, bpi))
-            chunk = min(entry_plan(entry, int(n_pad[e])), budget)
-            if chunk <= 0:
-                continue
-            local_e = round_rows.setdefault(e, len(round_rows))
-            start_row = n_rows
-            cp_chunks.append(_cp_rows(run.seed, run.idx_emit, run.itr_next, chunk))
-            b_off = np.arange(bpi, dtype=np.int32) * RAY_BLOCK
-            rows_e = np.empty((chunk, bpi, 4), dtype=np.int32)
-            rows_e[..., 0] = local_e
-            rows_e[..., 1] = n_cps + np.arange(chunk, dtype=np.int32)[:, None]
-            rows_e[..., 2] = int(offsets[e]) + b_off[None, :]
-            rows_e[..., 3] = b_off[None, :]
-            row_chunks.append(rows_e.reshape(-1, 4))
-            n_rows += chunk * bpi
-            n_cps += chunk
-            run.itr_next += chunk
-            plan.append((entry, start_row, bpi, chunk))
-            if n_rows >= max_blocks:
+        for _ in range(fuse_rounds):
+            progressed = False
+            for entry in pending:
+                run = entry["run"]
+                e = entry["idx"]
+                bpi = int(n_pad[e]) // RAY_BLOCK
+                if n_rows and n_rows + bpi > max_blocks:
+                    # not even one iteration fits this round; the entry stays
+                    # pending and leads the next round (rounds never overshoot
+                    # max_blocks, which for Pallas bounds materialized rays)
+                    continue
+                budget = max(1, (max_blocks - n_rows) // max(1, bpi))
+                chunk = min(entry_plan(entry, int(n_pad[e])), budget)
+                if chunk <= 0:
+                    continue
+                local_e = round_rows.setdefault(e, len(round_rows))
+                start_row = n_rows
+                cp_chunks.append(
+                    _cp_rows(run.seed, run.idx_emit, run.itr_next, chunk)
+                )
+                b_off = np.arange(bpi, dtype=np.int32) * RAY_BLOCK
+                rows_e = np.empty((chunk, bpi, 4), dtype=np.int32)
+                rows_e[..., 0] = local_e
+                rows_e[..., 1] = n_cps + np.arange(chunk, dtype=np.int32)[:, None]
+                rows_e[..., 2] = int(offsets[e]) + b_off[None, :]
+                rows_e[..., 3] = b_off[None, :]
+                row_chunks.append(rows_e.reshape(-1, 4))
+                n_rows += chunk * bpi
+                n_cps += chunk
+                run.itr_next += chunk
+                plan.append((entry, start_row, bpi, chunk))
+                progressed = True
+                if n_rows >= max_blocks:
+                    break
+            if not progressed or n_rows >= max_blocks:
                 break
         if not plan:
             return None

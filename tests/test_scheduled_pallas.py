@@ -455,3 +455,49 @@ def test_sched_pipeline_sky_and_workflow_match(monkeypatch):
     assert view_factor_matrix_and_sky(
         meshes, matrix_params=mp, sky_params=sp
     ) == wf_seq
+
+
+def test_sched_fuse_rounds_matches_and_reduces_dispatches(monkeypatch):
+    """SCHED_FUSE_ROUNDS > 1 fuses several planned convergence rounds into
+    ONE dispatch (each fused round planned from the same hypothetical
+    position round pipelining uses). Results must be identical to the
+    unfused driver on all three solve paths, and the dispatch count must
+    strictly drop on a multi-round solve."""
+    import raystrack_tpu.solver as S
+    from raystrack_tpu import config
+    from raystrack_tpu.ops import trace as T
+
+    meshes = _cloud_scene(560, seed=8)
+    mp = MatrixParams(samples=2, rays=32, seed=4, device="cpu", bvh="builtin",
+                      max_iters=12, min_iters=2, tol=2e-3, tol_mode="stderr",
+                      reciprocity=True)
+    sp = SkyParams(samples=2, rays=32, seed=4, device="cpu", bvh="builtin",
+                   max_iters=10, min_iters=2, tol=2e-3, tol_mode="stderr",
+                   discrete=True)
+    _force_scheduled_pallas(monkeypatch)
+
+    n_dispatch = [0]
+    orig_dispatch = T.scheduled_trace_pallas
+
+    def spy(*a, **k):
+        n_dispatch[0] += 1
+        return orig_dispatch(*a, **k)
+
+    monkeypatch.setattr(T, "scheduled_trace_pallas", spy)
+    monkeypatch.setattr(S, "scheduled_trace_pallas", spy, raising=False)
+
+    monkeypatch.setattr(config, "SCHED_FUSE_ROUNDS", 1)
+    base_m = view_factor_matrix(meshes, params=mp)
+    n_unfused = n_dispatch[0]
+    sky_base = view_factor_to_tregenza_sky(meshes, params=sp)
+    wf_base = view_factor_matrix_and_sky(meshes, matrix_params=mp,
+                                         sky_params=sp)
+
+    monkeypatch.setattr(config, "SCHED_FUSE_ROUNDS", 3)
+    n_dispatch[0] = 0
+    assert view_factor_matrix(meshes, params=mp) == base_m
+    n_fused = n_dispatch[0]
+    assert n_fused < n_unfused, (n_fused, n_unfused)
+    assert view_factor_to_tregenza_sky(meshes, params=sp) == sky_base
+    assert view_factor_matrix_and_sky(
+        meshes, matrix_params=mp, sky_params=sp) == wf_base

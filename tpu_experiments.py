@@ -1,12 +1,12 @@
 #!/usr/bin/env python3
-"""Round-4 hardware measurement harness (run on the real TPU).
+"""Rounds 4-5 hardware measurement harness (run on the real TPU).
 
 Each experiment runs in a SUBPROCESS so config-env knobs apply cleanly
 (config is read at import). Results print as one line per experiment;
 everything shares the default persistent compile cache, so repeated runs
-are warm. Pick experiments by name, default all:
+are warm. Pick experiments by name, default all round-4 ones:
 
-  python tpu_experiments.py [headline city pipeline chunkrays tile]
+  python tpu_experiments.py [headline city pipeline chunkrays fuse tile10m]
 
 Experiments:
   headline  - peak tests/s (layout refactor delta vs round-3's 6.14e10)
@@ -17,6 +17,15 @@ Experiments:
   chunkrays - district warm solve at TARGET_CHUNK_RAYS x1 vs x4 (the
               layout refactor cut round temp ~21x; bigger rounds = fewer
               convergence round-trips on big-emitter scenes)
+  fuse      - (round 5) canyon + district warm solves at
+              SCHED_FUSE_ROUNDS auto(=1) / 4 / 8: fused multi-round
+              dispatch vs the per-round RPC floor — MEASURED: fusing
+              loses (docs/measurements/sched_fuse_rounds_r05.txt)
+  tile10m   - (round 5) 10M-tri occluded rays/s at PALLAS_TRI_TILE
+              2048 (default) / 1024 / 512, the finer ones with
+              GATE_MAX_TILES=16384 so boxes stay per-tile as long as
+              possible (the oracle says visits are at the floor FOR
+              2048-wide tiles; the floor itself moves with granularity)
 """
 from __future__ import annotations
 
@@ -64,6 +73,28 @@ for rep in range(3):
     t0 = time.perf_counter(); bench._force(run(rep + 1)[0])
     times.append(time.perf_counter() - t0)
 print("RESULT " + json.dumps({{"rays_per_sec": round(2 * em.n_rays_pad / min(times)), "hits": hits}}))
+"""
+
+_CITY10M = r"""
+import sys, time, os, numpy as np, json
+if os.environ.get("RAYSTRACK_EXP_CPU") == "1":
+    import jax; jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {root!r})
+from raystrack_tpu.solver import _ensure_compile_cache
+_ensure_compile_cache()
+import importlib.util
+spec = importlib.util.spec_from_file_location("bench", {root!r} + "/bench.py")
+bench = importlib.util.module_from_spec(spec); spec.loader.exec_module(bench)
+from raystrack_tpu.prepared import PreparedSolver
+ps = PreparedSolver(bench._city(10_000_000))
+run = lambda seed: bench._run_chunk(ps, accel=True, seed=seed, chunk=1, samples=1, rays=1)
+out, em, _ = run(0)
+hits = int(np.asarray(out["counts_f"]).sum() + np.asarray(out["counts_b"]).sum())
+times = []
+for rep in range(2):
+    t0 = time.perf_counter(); bench._force(run(rep + 1)[0])
+    times.append(time.perf_counter() - t0)
+print("RESULT " + json.dumps({{"rays_per_sec": round(em.n_rays_pad / min(times)), "hits": hits}}))
 """
 
 _SOLVE = r"""
@@ -141,6 +172,22 @@ def main() -> None:
     if "chunkrays" in picks:
         run_probe("district TARGET_CHUNK_RAYS x4", _SOLVE,
                   {"RAYSTRACK_TPU_TARGET_CHUNK_RAYS": 16_777_216})
+    if "fuse" in picks:
+        run_probe("solves SCHED_FUSE_ROUNDS auto (unfused default)", _SOLVE,
+                  {})
+        run_probe("solves SCHED_FUSE_ROUNDS=4", _SOLVE,
+                  {"RAYSTRACK_TPU_SCHED_FUSE_ROUNDS": 4})
+        run_probe("solves SCHED_FUSE_ROUNDS=8", _SOLVE,
+                  {"RAYSTRACK_TPU_SCHED_FUSE_ROUNDS": 8})
+    if "tile10m" in picks:
+        run_probe("city 10M TRI_TILE=2048 (default)", _CITY10M, {},
+                  timeout=2400)
+        run_probe("city 10M TRI_TILE=1024 GATE=16384", _CITY10M,
+                  {"RAYSTRACK_TPU_PALLAS_TRI_TILE": 1024,
+                   "RAYSTRACK_TPU_GATE_MAX_TILES": 16384}, timeout=2400)
+        run_probe("city 10M TRI_TILE=512 GATE=16384", _CITY10M,
+                  {"RAYSTRACK_TPU_PALLAS_TRI_TILE": 512,
+                   "RAYSTRACK_TPU_GATE_MAX_TILES": 16384}, timeout=2400)
 
 
 if __name__ == "__main__":
