@@ -108,9 +108,15 @@ def build_tri_pack(scene: Tuple, m_any, m_mat, *, bake=None) -> jnp.ndarray:
         m_any.astype(jnp.float32)[None, :],
         m_mat.astype(jnp.float32)[None, :],
     ]
-    pack = jnp.concatenate([r.astype(jnp.float32) for r in rows], axis=0)
-    pad = TRI_ROWS - pack.shape[0]
-    return jnp.pad(pack, ((0, pad), (0, 0)))
+    rows32 = [r.astype(jnp.float32) for r in rows]
+    pad = TRI_ROWS - sum(r.shape[0] for r in rows32)
+    if pad:
+        # Pad rows ride INSIDE the concatenate: a trailing jnp.pad would
+        # materialize a second full-size HLO temp next to the concatenate
+        # result (measured: 2 x 8.94 GB at 1e8 triangles = HBM OOM on v5e;
+        # one fused concatenate peaks at half that).
+        rows32.append(jnp.zeros((pad, rows32[0].shape[1]), jnp.float32))
+    return jnp.concatenate(rows32, axis=0)
 
 
 def _ray_columns(rays_ref):
