@@ -133,7 +133,7 @@ def _run_chunk(ps: PreparedSolver, *, accel: bool, seed: int, chunk: int,
         (em.cdf, em.tri_a, em.tri_e1, em.tri_e2,
          em.tri_u, em.tri_v, em.tri_n, em.tri_eps),
         cp, ext, np.int32(0), np.int32(0), np.int32(em.n_rays_once),
-        None, scene.accel,
+        None, scene.accel, scene.tri_pack,
         ray_block=min(PALLAS_RAY_BLOCK, em.n_rays_pad),
         tri_tile=PALLAS_TRI_TILE,
         want_matrix=True, want_any=False, discrete=False,

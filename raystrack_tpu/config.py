@@ -206,6 +206,19 @@ GATE_MAX_TILES = _env_int("RAYSTRACK_TPU_GATE_MAX_TILES", 8192)
 # prune).
 GATE_MAX_GROUP = _env_int("RAYSTRACK_TPU_GATE_MAX_GROUP", 64)
 
+# Slim (pack-resident) scene threshold, in padded triangles: at or above
+# it pack_scene builds the (24, Tpad) sweep operand pack ONCE (chunked,
+# donated device build) and keeps only it + sid on device, instead of the
+# full scene arrays from which every dispatch would re-assemble the pack.
+# The full mode peaks at ~176 B/tri of HBM during a dispatch (80 B/tri of
+# scene fields + a 96 B/tri pack temp) — an OOM past ~90M triangles on a
+# 16 GB chip; slim mode is ~100 B/tri resident with no per-dispatch pack
+# temp, extending single-chip scenes to ~150M triangles. Slim scenes
+# require the Pallas kernel (the pack IS its operand format) and derive
+# per-pair eligibility from the pack's code row in-kernel (exact; see
+# ops.trace_pallas._tile_step code_bounds).
+SLIM_PACK_MIN_TRIS = _env_int("RAYSTRACK_TPU_SLIM_PACK_MIN_TRIS", 40_000_000)
+
 # Gate-test window width (boxes per in-kernel bitmask evaluation; must
 # divide 128; 0 = per-box gate tests). Each per-box gate test costs a
 # vector->scalar sync (~1 us of serialized reduction + branch latency);

@@ -130,6 +130,25 @@ def compute_masks(scene, surf_active_ext, emit_sid, min_sid, plane_vec=None):
     return m_any, m_mat
 
 
+def compute_masks_slim(sid, surf_active_ext, emit_sid, min_sid):
+    """Per-triangle masks from surface ids only (slim pack-resident scenes).
+
+    Identical to :func:`compute_masks` minus the per-triangle plane-cull
+    refinement, which needs the raw vertex arrays a slim scene no longer
+    keeps on device. Exact: the per-SURFACE plane cull (a culled surface
+    lies entirely behind the emission plane, so no launched ray can hit
+    it — reference: main.py:167-204) is already folded into
+    ``surf_active_ext``, and the per-triangle refinement only removes more
+    provably-unhittable triangles. These masks feed tile activity and gate
+    compaction; the kernel's per-pair tests run from the pack's code row
+    (trace_pallas._tile_step ``code_bounds``).
+    """
+    active = surf_active_ext[sid] > 0  # padding sid = n_surf -> ext 0
+    m_any = active & (sid != emit_sid)
+    m_mat = m_any & (sid >= min_sid)
+    return m_any, m_mat
+
+
 def tile_activity(mask: jnp.ndarray, tri_tile: int) -> jnp.ndarray:
     """(n_tiles,) int32 flags: does any eligible triangle live in the tile?
 
@@ -490,6 +509,12 @@ def chunk_body(
     normalization happens on host. ``accel`` is the optional fine-grained
     (tile_lo, tile_hi) AABB pair enabling distance-pruned tile gating.
     """
+    if scene[0] is None:
+        raise ValueError(
+            "slim (pack-resident) scene packs keep only sid + the operand "
+            "pack on device; the XLA sweep needs the full scene arrays — "
+            "use the Pallas kernel (chunk_body_pallas with tri_pack=)"
+        )
     chunk = cp.shape[0]
     n_local = tables[0].shape[0]
     blocks_per_iter = n_local // ray_block
@@ -911,6 +936,7 @@ def chunk_body_pallas(
     ray_index_base=0,
     plane_vec=None,
     accel=None,
+    tri_pack=None,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Pallas-kernel variant of :func:`chunk_body`.
@@ -918,6 +944,15 @@ def chunk_body_pallas(
     Raygen runs as one vectorized XLA program over the whole chunk, the
     sweep is the fused VMEM kernel (ops/trace_pallas.py), and the histograms
     reduce the (chunk, n_local) hit codes with plain fused comparisons.
+
+    ``tri_pack`` (a prebuilt (24, Tpad) operand pack — prepared.pack_scene
+    slim mode) switches to the pack-resident path for huge scenes: the
+    dispatch reuses the device-resident pack instead of assembling one from
+    the scene arrays (which would hold both the ~80 B/tri scene fields and
+    the 96 B/tri pack in HBM at once — an OOM past ~90M triangles on a
+    16 GB chip), and the kernel derives eligibility from the pack's code
+    row plus two scalars (trace_pallas ``code_bounds``). The scene tuple
+    then only needs ``sid``; results match the baked path exactly.
     """
     from .trace_pallas import build_tri_pack, gate_prunes, sweep_rays
 
@@ -925,13 +960,14 @@ def chunk_body_pallas(
     n_local = tables[0].shape[0]
     n_total = chunk * n_local
     n_surf = surf_active_ext.shape[0] - 1
+    n_tri_pad = tri_pack.shape[1] if tri_pack is not None else scene[0].shape[0]
 
     o, d = jax.vmap(generate_rays, in_axes=(None, None, 0))(tables, geom, cp)
     ray_valid = jnp.broadcast_to(
         (jnp.arange(n_local, dtype=jnp.int32) + ray_index_base < n_rays_once),
         (chunk, n_local),
     )
-    if gate_prunes(accel, scene[0].shape[0], tri_tile):
+    if gate_prunes(accel, n_tri_pad, tri_tile):
         # Coherence sort (per iteration): the block-level AABB gate only
         # fires when a whole block agrees a tile is irrelevant, which needs
         # direction/origin-coherent blocks. Reductions are permutation-
@@ -946,23 +982,53 @@ def chunk_body_pallas(
     # transposed (9, N) store — see scheduled_trace_pallas: lane-waste-free
     rays9 = jnp.concatenate([o, d, jnp.cross(o, d)], axis=-1).reshape(n_total, 9).T
 
-    m_any, m_mat = compute_masks(scene, surf_active_ext, emit_sid, min_sid, plane_vec)
-    # bake the primary mask into zeroed cross_e rows (det = 0 rejection), so
-    # the kernel's hot loop runs without per-pair mask tests — result-exact
-    primary = m_any if want_any else m_mat
-    tri_pack = build_tri_pack(scene, m_any, m_mat, bake=primary)
-    codes, any_hit = sweep_rays(
-        rays9,
-        tri_pack,
-        primary,
-        ray_block=ray_block,
-        tri_tile=tri_tile,
-        want_matrix=want_matrix,
-        want_any=want_any,
-        interpret=interpret,
-        accel=accel,
-        masks_baked=True,
-    )
+    if tri_pack is not None:
+        # slim pack-resident mode: masks from sid only (tile activity and
+        # gate compaction); per-pair eligibility runs in-kernel from the
+        # pack's code row against (emit_code, min_code)
+        m_any, m_mat = compute_masks_slim(
+            scene[7], surf_active_ext, emit_sid, min_sid
+        )
+        primary = m_any if want_any else m_mat
+        code_bounds = jnp.stack(
+            [
+                (emit_sid * 2).astype(jnp.float32),
+                (min_sid * 2).astype(jnp.float32),
+            ]
+        )
+        codes, any_hit = sweep_rays(
+            rays9,
+            tri_pack,
+            primary,
+            ray_block=ray_block,
+            tri_tile=tri_tile,
+            want_matrix=want_matrix,
+            want_any=want_any,
+            interpret=interpret,
+            accel=accel,
+            code_bounds=code_bounds,
+        )
+    else:
+        m_any, m_mat = compute_masks(
+            scene, surf_active_ext, emit_sid, min_sid, plane_vec
+        )
+        # bake the primary mask into zeroed cross_e rows (det = 0
+        # rejection), so the kernel's hot loop runs without per-pair mask
+        # tests — result-exact
+        primary = m_any if want_any else m_mat
+        pack = build_tri_pack(scene, m_any, m_mat, bake=primary)
+        codes, any_hit = sweep_rays(
+            rays9,
+            pack,
+            primary,
+            ray_block=ray_block,
+            tri_tile=tri_tile,
+            want_matrix=want_matrix,
+            want_any=want_any,
+            interpret=interpret,
+            accel=accel,
+            masks_baked=True,
+        )
 
     codes = codes.reshape(chunk, n_local)
     any_hit = any_hit.reshape(chunk, n_local) > 0
@@ -1017,6 +1083,7 @@ def trace_chunk(
     n_rays_once: jnp.ndarray,
     plane_vec=None,
     accel=None,
+    tri_pack=None,
     *,
     ray_block: int,
     tri_tile: int,
@@ -1027,6 +1094,10 @@ def trace_chunk(
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Single-device jitted chunk step. See :func:`chunk_body`."""
+    if tri_pack is not None and kernel != "pallas":
+        raise ValueError(
+            "slim (pack-resident) scene packs require kernel='pallas'"
+        )
     body = chunk_body_pallas if kernel == "pallas" else chunk_body
     kwargs = dict(
         ray_block=ray_block,
@@ -1039,6 +1110,7 @@ def trace_chunk(
     )
     if kernel == "pallas":
         kwargs["interpret"] = interpret
+        kwargs["tri_pack"] = tri_pack
     return body(
         scene,
         tables,
@@ -1058,6 +1130,7 @@ __all__ = [
     "unpack_outputs",
     "chunk_body",
     "chunk_body_pallas",
+    "compute_masks_slim",
     "scheduled_trace",
     "scheduled_trace_pallas",
     "trace_chunk",

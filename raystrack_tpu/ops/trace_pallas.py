@@ -145,7 +145,7 @@ def _store_results(row, code_ref, any_ref, best_t, best_code, any_hit):
 
 
 def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool,
-               m_any_row=None, m_mat_row=None):
+               m_any_row=None, m_mat_row=None, code_bounds=None):
     """One triangle-tile of the Möller-Trumbore sweep.
 
     ``rays`` are the 9 (B, 1) ray columns, ``row(r)`` yields the (1, T)
@@ -155,18 +155,36 @@ def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool,
 
     The eligibility masks default to the operand pack's baked-in rows;
     the scheduled kernels (one dispatch spanning many emitters) override
-    them with ``m_any_row``/``m_mat_row`` getters reading per-emitter mask
-    arrays instead. Passing the string ``"baked"`` for a mask skips its
-    per-pair test entirely — use when the pack was built with
-    :func:`build_tri_pack`'s ``bake`` option so ineligible triangles
-    already fail the det test (two (B, T) ops saved per tile).
+    them with ``m_any_row``/``m_mat_row`` getters returning per-tile BOOL
+    eligibility rows read from per-emitter mask arrays instead. Passing the
+    string ``"baked"`` for a mask skips its per-pair test entirely — use
+    when the pack was built with :func:`build_tri_pack`'s ``bake`` option
+    so ineligible triangles already fail the det test (two (B, T) ops saved
+    per tile).
+
+    ``code_bounds`` (a pair of f32 scalars ``(emit_code, min_code)``, both
+    ``2 * sid``) derives the masks from the pack's OWN code row instead:
+    ``m_any = code != emit_code`` (emitter exclusion) and
+    ``m_mat = m_any & (code >= min_code)`` (the reciprocity half-matrix
+    skip). This is the slim pack-resident mode for huge scenes whose pack
+    is prebuilt once and never rewritten per dispatch: the surface-active
+    plane cull is NOT re-tested per pair — exact, because a culled surface
+    lies entirely behind the emission plane and can never be hit (the same
+    invariant the baked path relies on when it masks those triangles out;
+    reference: main.py:167-204) — while whole inactive tiles still drop
+    out via ``tiles_on``. The extra cost is (1, T) compares only.
     """
     ox, oy, oz, dx, dy, dz, cx, cy, cz = rays
     best_t, best_code, any_hit = carry
+    if code_bounds is not None:
+        code = row(ROW_CODE)
+        not_emit = code != code_bounds[0]
+        m_any_row = lambda: not_emit
+        m_mat_row = lambda: not_emit & (code >= code_bounds[1])
     if m_any_row is None:
-        m_any_row = lambda: row(ROW_MASK_ANY)
+        m_any_row = lambda: row(ROW_MASK_ANY) > 0.0
     if m_mat_row is None:
-        m_mat_row = lambda: row(ROW_MASK_MAT)
+        m_mat_row = lambda: row(ROW_MASK_MAT) > 0.0
 
     # det = -(d . cross_e); t_num = o . cross_e - d0
     ce_x, ce_y, ce_z = row(ROW_CE), row(ROW_CE + 1), row(ROW_CE + 2)
@@ -208,13 +226,13 @@ def _tile_step(rays, row, carry, *, want_matrix: bool, want_any: bool,
     valid = (margin >= 0.0) & (t_hit > 1e-6)
 
     if want_any:
-        blocked = valid if m_any_row == "baked" else (valid & (m_any_row() > 0.0))
+        blocked = valid if m_any_row == "baked" else (valid & m_any_row())
         any_hit = jnp.maximum(
             any_hit, jnp.any(blocked, axis=1, keepdims=True).astype(jnp.int32)
         )
 
     if want_matrix:
-        mat_ok = valid if m_mat_row == "baked" else (valid & (m_mat_row() > 0.0))
+        mat_ok = valid if m_mat_row == "baked" else (valid & m_mat_row())
         t_masked = jnp.where(mat_ok, t_hit, INF)
         tile_best = jnp.min(t_masked, axis=1, keepdims=True)
         codes = row(ROW_CODE).astype(jnp.int32) + (det > 0.0).astype(jnp.int32)
@@ -381,10 +399,11 @@ def _gate_loop_bound(n_tiles: int, use_gate: bool, gate_group: int) -> int:
 
 
 def _sweep_kernel(
-    rays_ref, tris_ref, tiles_on_ref, aabb_ref, wtab_ref, order_ref,
-    counts_ref, code_ref, any_ref,
+    rays_ref, tris_ref, scal_ref, tiles_on_ref, aabb_ref, wtab_ref,
+    order_ref, counts_ref, code_ref, any_ref,
     *, tri_tile: int, want_matrix: bool, want_any: bool, use_gate: bool,
-    masks_baked: bool = False, gate_group: int = 1, gate_window: int = 0
+    masks_baked: bool = False, masks_from_code: bool = False,
+    gate_group: int = 1, gate_window: int = 0
 ):
     n_tiles = tris_ref.shape[1] // tri_tile
     n_loop = _gate_loop_bound(n_tiles, use_gate, gate_group)
@@ -402,13 +421,16 @@ def _sweep_kernel(
     # test survives only when both output types are wanted and differ
     m_any_row = "baked" if masks_baked else None
     m_mat_row = "baked" if (masks_baked and not want_any) else None
+    # slim pack-resident mode: masks derive from the pack's code row and
+    # the two SMEM scalars (emit_code, min_code) — see _tile_step
+    code_bounds = (scal_ref[0, 0], scal_ref[0, 1]) if masks_from_code else None
 
     def tile_math(i, carry):
         off = i * tri_tile
         row = lambda r: tris_ref[r : r + 1, pl.ds(off, tri_tile)]  # (1, T)
         return _tile_step(rays, row, carry, want_matrix=want_matrix,
-                          want_any=want_any,
-                          m_any_row=m_any_row, m_mat_row=m_mat_row)
+                          want_any=want_any, m_any_row=m_any_row,
+                          m_mat_row=m_mat_row, code_bounds=code_bounds)
 
     init = _sweep_init(rays[3])
     if use_gate and gate_window:
@@ -468,11 +490,11 @@ def _sweep_kernel(
 
 
 def _sweep_kernel_streamed(
-    rays_ref, tris_hbm, tiles_on_ref, aabb_ref, wtab_ref, order_ref,
-    counts_ref, code_ref, any_ref,
+    rays_ref, tris_hbm, scal_ref, tiles_on_ref, aabb_ref, wtab_ref,
+    order_ref, counts_ref, code_ref, any_ref,
     *, tri_tile: int, n_tiles: int, want_matrix: bool, want_any: bool,
-    use_gate: bool, masks_baked: bool = False, gate_group: int = 1,
-    gate_window: int = 0
+    use_gate: bool, masks_baked: bool = False, masks_from_code: bool = False,
+    gate_group: int = 1, gate_window: int = 0
 ):
     """HBM-streaming variant: the operand pack stays in HBM and tile slices
     are double-buffered into VMEM scratch, so scene size is unbounded.
@@ -499,6 +521,8 @@ def _sweep_kernel_streamed(
     n_dyn = counts_ref[order_row, 0] * gate_group if use_gate else n_loop
     m_any_row = "baked" if masks_baked else None
     m_mat_row = "baked" if (masks_baked and not want_any) else None
+    # slim pack-resident mode (see _sweep_kernel / _tile_step)
+    code_bounds = (scal_ref[0, 0], scal_ref[0, 1]) if masks_from_code else None
 
     def body(buf_ref, sem_ref):
         def tile_dma(slot, j):
@@ -522,8 +546,9 @@ def _sweep_kernel_streamed(
                 row = lambda r: buf_ref[slot, r : r + 1, :]  # (1, T)
                 # tiles stream regardless; skipping saves no DMA here
                 return _tile_step(rays, row, carry, want_matrix=want_matrix,
-                                  want_any=want_any,
-                                  m_any_row=m_any_row, m_mat_row=m_mat_row)
+                                  want_any=want_any, m_any_row=m_any_row,
+                                  m_mat_row=m_mat_row,
+                                  code_bounds=code_bounds)
 
             carry = jax.lax.fori_loop(
                 0, n_tiles, tile_body, _sweep_init(rays[3])
@@ -587,7 +612,8 @@ def _sweep_kernel_streamed(
                     lambda c: _tile_step(rays, row, c, want_matrix=want_matrix,
                                          want_any=want_any,
                                          m_any_row=m_any_row,
-                                         m_mat_row=m_mat_row),
+                                         m_mat_row=m_mat_row,
+                                         code_bounds=code_bounds),
                     lambda c: c,
                     carry,
                 )
@@ -646,7 +672,8 @@ def _sweep_kernel_streamed(
                     lambda c: _tile_step(rays, row, c, want_matrix=want_matrix,
                                          want_any=want_any,
                                          m_any_row=m_any_row,
-                                         m_mat_row=m_mat_row),
+                                         m_mat_row=m_mat_row,
+                                         code_bounds=code_bounds),
                     lambda c: c,
                     carry,
                 )
@@ -894,7 +921,8 @@ def _sweep_kernel_sched(
             comb = lambda: mrow_ref[0:1, pl.ds(off, tri_tile)]
             return _tile_step(
                 rays, row, carry, want_matrix=want_matrix, want_any=want_any,
-                m_any_row=comb, m_mat_row=lambda: comb() - 1.0,
+                m_any_row=lambda: comb() > 0.0,
+                m_mat_row=lambda: comb() > 1.0,
             )
 
         init = _sweep_init(rays[3])
@@ -1007,7 +1035,8 @@ def _sweep_kernel_sched_streamed(
             comb = lambda: mbuf_ref[slot, 0:1, :]
             return _tile_step(
                 rays, row, carry, want_matrix=want_matrix, want_any=want_any,
-                m_any_row=comb, m_mat_row=lambda: comb() - 1.0,
+                m_any_row=lambda: comb() > 0.0,
+                m_mat_row=lambda: comb() > 1.0,
             )
 
         if not use_gate:
@@ -1298,12 +1327,19 @@ def sweep_rays(
     stream_from_hbm: bool | None = None,
     accel=None,
     masks_baked: bool = False,
+    code_bounds=None,
 ):
     """Sweep all rays against all triangles; returns (codes (N,), any (N,)).
 
     ``masks_baked`` promises the pack was built with
     :func:`build_tri_pack`'s ``bake`` option (primary mask folded into
     zeroed cross_e), letting the kernels drop per-pair mask tests.
+
+    ``code_bounds`` (a (2,) f32 array ``[emit_code, min_code]``, both
+    ``2 * sid``) instead derives per-pair masks from the pack's code row
+    in-kernel — the slim pack-resident mode for huge scenes whose operand
+    pack is prebuilt once (prepared.pack_scene slim mode) and whose mask
+    rows are never rewritten. Mutually exclusive with ``masks_baked``.
 
     For scenes whose operand pack exceeds the VMEM budget the kernel
     switches to the HBM-streaming variant (double-buffered tile DMA);
@@ -1371,6 +1407,14 @@ def sweep_rays(
         counts = jnp.zeros((8, 1), jnp.int32)
     if not gate_window:  # dummy: the kernels never read wtab in this mode
         wtab = jnp.zeros((1, 8, 128), jnp.float32)
+    masks_from_code = code_bounds is not None
+    if masks_from_code and masks_baked:
+        raise ValueError("masks_baked and code_bounds are mutually exclusive")
+    scal = (
+        code_bounds.astype(jnp.float32).reshape(1, 2)
+        if masks_from_code
+        else jnp.zeros((1, 2), jnp.float32)  # dummy: never read
+    )
 
     if stream_from_hbm:
         kernel = functools.partial(
@@ -1381,6 +1425,7 @@ def sweep_rays(
             want_any=want_any,
             use_gate=use_gate,
             masks_baked=masks_baked,
+            masks_from_code=masks_from_code,
             gate_group=gate_group,
             gate_window=gate_window,
         )
@@ -1393,6 +1438,7 @@ def sweep_rays(
             want_any=want_any,
             use_gate=use_gate,
             masks_baked=masks_baked,
+            masks_from_code=masks_from_code,
             gate_group=gate_group,
             gate_window=gate_window,
         )
@@ -1412,6 +1458,7 @@ def sweep_rays(
                 (16, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             tris_spec,
+            smem((1, 2)),
             smem((1, int(tiles_on.shape[0]))),
             smem(aabb.shape),
             pl.BlockSpec(
@@ -1442,6 +1489,7 @@ def sweep_rays(
     )(
         jnp.pad(rays, ((0, 16 - rays.shape[0]), (0, 0))),
         tri_pack,
+        scal,
         tiles_on[None, :],
         aabb,
         wtab,

@@ -416,12 +416,23 @@ class ScenePack:
     # box (lo > hi) that every slab test misses.
     tile_lo: Any = None  # (Tp / ACCEL_GRAIN, 3) f32
     tile_hi: Any = None  # (Tp / ACCEL_GRAIN, 3) f32
+    # Slim (pack-resident) mode for huge scenes: the (TRI_ROWS, Tp) sweep
+    # operand pack is built ONCE (chunked donated device build) and the
+    # per-triangle arrays above are None on device — only sid survives for
+    # mask/tile-activity math. Dispatches reuse this pack instead of
+    # re-assembling one from the scene fields, which at 1e8 triangles would
+    # hold ~80 B/tri of fields plus a 96 B/tri pack temp in HBM at once.
+    tri_pack: Any = None  # (TRI_ROWS, Tp) f32, slim mode only
 
     @property
     def accel(self):
         if self.tile_lo is None:
             return None
         return (self.tile_lo, self.tile_hi)
+
+    @property
+    def slim(self) -> bool:
+        return self.tri_pack is not None
 
 
 @dataclass(frozen=True)
@@ -460,6 +471,10 @@ class EmitterPack:
 # Empty-box sentinel: any slab test against (lo=+BIG, hi=-BIG) misses.
 _ACCEL_EMPTY = 3.0e37
 
+# Triangles per donated fill step of the slim pack build (~400 MB of
+# chunk uploads + one (TRI_ROWS, chunk) slab in flight).
+_PACK_BUILD_CHUNK = 4_194_304
+
 
 def _tile_bounds(
     v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, n_tri: int
@@ -485,10 +500,70 @@ def _tile_bounds(
     return lo, hi
 
 
-def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
+def _build_pack_resident(v0, e1, e2, sid, device):
+    """Device-resident (TRI_ROWS, Tpad) sweep operand pack for slim scenes.
+
+    Built in donated chunks so peak HBM stays pack + one row slab (~300 MB)
+    instead of pack + the full scene fields. Row content matches
+    ops.trace_pallas.build_tri_pack with zero mask rows and no bake (the
+    same pack the scheduled kernels consume). The derived rows are computed
+    on the HOST with the exact NumPy formulas full mode uses, so slim packs
+    are bitwise-equal to full-mode packs BY CONSTRUCTION — a device-side
+    build was measured to drift ~1 ulp because XLA's LLVM backend contracts
+    ``a*b - c*d`` into an FMA even across an optimization_barrier (the
+    barrier is an HLO fence; contraction happens at instruction selection).
+    Only the 17 used rows upload (68 B/tri); the pad rows stay the zeros
+    the pack was initialized with.
+    """
+    import functools
+
     import jax
 
-    from .config import PALLAS_MAX_TRIS, PALLAS_TRI_TILE
+    from .ops.trace_pallas import TRI_ROWS
+
+    n = int(v0.shape[0])
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fill(pack, rows, off):
+        return jax.lax.dynamic_update_slice(pack, rows, (0, off))
+
+    import jax.numpy as jnp
+
+    make_zeros = jax.jit(lambda: jnp.zeros((TRI_ROWS, n), jnp.float32))
+    if device is not None:
+        with jax.default_device(device):
+            pack = make_zeros()
+    else:
+        pack = make_zeros()
+
+    put = lambda a: jax.device_put(a, device) if device is not None else jnp.asarray(a)
+    # at most two compiled fill variants: full chunks + one remainder shape
+    # (n is a multiple of 128, so is the remainder)
+    chunk = min(n, _PACK_BUILD_CHUNK)
+    off = 0
+    while off < n:
+        c = min(chunk, n - off)
+        sl = slice(off, off + c)
+        rows = np.empty((17, c), dtype=np.float32)
+        ce = np.cross(e1[sl], e2[sl]).astype(np.float32)
+        rows[0:3] = ce.T
+        rows[3:6] = e1[sl].T
+        rows[6:9] = e2[sl].T
+        rows[9:12] = np.cross(v0[sl], e2[sl]).astype(np.float32).T
+        rows[12:15] = np.cross(v0[sl], e1[sl]).astype(np.float32).T
+        rows[15] = np.einsum("ij,ij->i", v0[sl], ce).astype(np.float32)
+        rows[16] = (sid[sl] * 2).astype(np.float32)
+        pack = fill(pack, put(rows), np.int32(off))
+        off += c
+    return pack
+
+
+def pack_scene(
+    scene: PreparedScene, n_surf: int, *, device=None, slim=None
+) -> ScenePack:
+    import jax
+
+    from .config import PALLAS_MAX_TRIS, PALLAS_TRI_TILE, SLIM_PACK_MIN_TRIS
 
     n_tri = int(scene.v0.shape[0])
     n_tri_pad = _round_up(n_tri, 128)
@@ -499,6 +574,12 @@ def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
         # SMEM gate tables). <=2047 extra padded triangles is noise here.
         n_tri_pad = _round_up(n_tri, PALLAS_TRI_TILE)
     tile = pick_tri_tile(n_tri_pad)
+    if slim is None:
+        # slim needs a concrete Device for its chunked donated build; under
+        # a mesh placement (Sharding) huge scenes keep the full layout
+        slim = n_tri_pad >= SLIM_PACK_MIN_TRIS and (
+            device is None or isinstance(device, jax.Device)
+        )
 
     if scene.use_accel and n_tri > 1:
         perm = morton_order(scene.v0, scene.e1, scene.e2)
@@ -513,10 +594,6 @@ def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
     v0 = pad3(scene.v0)
     e1 = pad3(scene.e1)
     e2 = pad3(scene.e2)
-    cross_e = np.cross(e1, e2).astype(np.float32)
-    w_u = np.cross(v0, e2).astype(np.float32)
-    w_v = np.cross(v0, e1).astype(np.float32)
-    d0 = np.einsum("ij,ij->i", v0, cross_e).astype(np.float32)
     sid = np.full(n_tri_pad, n_surf, dtype=np.int32)
     sid[:n_tri] = scene.sid[perm]
 
@@ -526,6 +603,26 @@ def pack_scene(scene: PreparedScene, n_surf: int, *, device=None) -> ScenePack:
         tile_lo = tile_hi = None
 
     put = lambda a: jax.device_put(a, device) if a is not None else None
+    if slim:
+        tri_pack = _build_pack_resident(v0, e1, e2, sid, device)
+        return ScenePack(
+            v0=None, e1=None, e2=None, cross_e=None, w_u=None, w_v=None,
+            d0=None,
+            sid=put(sid),
+            n_tri=n_tri,
+            n_tri_pad=n_tri_pad,
+            tri_tile=tile,
+            n_surf=n_surf,
+            tile_lo=put(tile_lo),
+            tile_hi=put(tile_hi),
+            tri_pack=tri_pack,
+        )
+
+    cross_e = np.cross(e1, e2).astype(np.float32)
+    w_u = np.cross(v0, e2).astype(np.float32)
+    w_v = np.cross(v0, e1).astype(np.float32)
+    d0 = np.einsum("ij,ij->i", v0, cross_e).astype(np.float32)
+
     return ScenePack(
         v0=put(v0),
         e1=put(e1),

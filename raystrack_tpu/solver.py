@@ -463,6 +463,13 @@ class _EmitterRun:
         if self.mesh is not None:
             from .parallel.sharding import trace_chunk_sharded
 
+            if scene.slim:
+                raise NotImplementedError(
+                    "slim (pack-resident) scene packs do not support "
+                    "ray-mesh sharding yet; build the pack per device or "
+                    "lower RAYSTRACK_TPU_SLIM_PACK_MIN_TRIS only for "
+                    "single-device solves"
+                )
             out = trace_chunk_sharded(
                 self.mesh, scene_t, tables_t, geom_t, cp,
                 self.surf_active_ext, self.emit_sid, self.min_sid,
@@ -475,7 +482,7 @@ class _EmitterRun:
             args = (
                 scene_t, tables_t, geom_t, cp,
                 self.surf_active_ext, self.emit_sid, self.min_sid,
-                self.n_rays_once, em.plane_vec, scene.accel,
+                self.n_rays_once, em.plane_vec, scene.accel, scene.tri_pack,
             )
             kw = dict(kernel=self.kernel, interpret=self.interpret, **kwargs)
             out = trace_chunk(*args, **kw)
@@ -1750,11 +1757,18 @@ def view_factor_matrix(
     pack_dev, ray_dev = _placements(mesh, device)
     align = _ray_align(mesh)
     use_scheduler = _use_scheduler(device, emitters, p["rays"], align)
+    scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
+    if scene_pack.slim:
+        # pack-resident scenes: the per-emitter pipelined driver reuses the
+        # resident pack directly; the scheduled driver would re-assemble
+        # one per round (trace.py scheduled_trace_pallas) — and at slim
+        # scales the dispatch is seconds long, so per-dispatch overhead
+        # (the scheduler's raison d'etre) is noise anyway
+        use_scheduler = False
     kernel, interpret = _resolve_kernel(
         device, mesh, prepared_solver.total_faces,
-        scheduled=use_scheduler and len(meshes) > 1,
+        scheduled=use_scheduler and len(meshes) > 1, slim=scene_pack.slim,
     )
-    scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
 
     n_surf = len(meshes)
     n_restored = 0
@@ -1891,7 +1905,7 @@ def view_factor_matrix(
     # Pallas-swept scenes, device-mesh solves)
     kernel, interpret = _rescope_kernel(
         entries, kernel, interpret, device, mesh,
-        prepared_solver.total_faces, use_scheduler,
+        prepared_solver.total_faces, use_scheduler, slim=scene_pack.slim,
     )
     with profiler("matrix_solve"):
         if len(entries) > 1:
@@ -1989,11 +2003,13 @@ def view_factor_to_tregenza_sky(
     pack_dev, ray_dev = _placements(mesh, device)
     align = _ray_align(mesh)
     use_scheduler = _use_scheduler(device, emitters, p["rays"], align)
+    scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
+    if scene_pack.slim:
+        use_scheduler = False  # pack-resident scenes: pipelined driver only
     kernel, interpret = _resolve_kernel(
         device, mesh, prepared_solver.total_faces,
-        scheduled=use_scheduler and len(meshes) > 1,
+        scheduled=use_scheduler and len(meshes) > 1, slim=scene_pack.slim,
     )
-    scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
 
     sky_keys = (
         [f"Sky_Patch_{i}" for i in range(1, 146)] if discrete else ["Sky"]
@@ -2084,7 +2100,7 @@ def view_factor_to_tregenza_sky(
             _entry_done(entry)
     kernel, interpret = _rescope_kernel(
         entries, kernel, interpret, device, mesh,
-        prepared_solver.total_faces, use_scheduler,
+        prepared_solver.total_faces, use_scheduler, slim=scene_pack.slim,
     )
     if len(entries) > 1:
         if use_scheduler:
@@ -2200,11 +2216,13 @@ def view_factor_matrix_and_sky(
     pack_dev, ray_dev = _placements(mesh, device)
     align = _ray_align(mesh)
     use_scheduler = _use_scheduler(device, emitters, mp["rays"], align)
+    scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
+    if scene_pack.slim:
+        use_scheduler = False  # pack-resident scenes: pipelined driver only
     kernel, interpret = _resolve_kernel(
         device, mesh, prepared_solver.total_faces,
-        scheduled=use_scheduler and len(meshes) > 1,
+        scheduled=use_scheduler and len(meshes) > 1, slim=scene_pack.slim,
     )
-    scene_pack = prepared_solver.get_scene_pack(use_accel=use_bvh, device=pack_dev)
 
     vf_scene: VFDict = {name: {} for name, _, _ in meshes}
     sky_keys = [f"Sky_Patch_{i}" for i in range(1, 146)] if discrete else ["Sky"]
@@ -2375,7 +2393,7 @@ def view_factor_matrix_and_sky(
             _entry_done(entry)
     kernel, interpret = _rescope_kernel(
         entries, kernel, interpret, device, mesh,
-        prepared_solver.total_faces, use_scheduler,
+        prepared_solver.total_faces, use_scheduler, slim=scene_pack.slim,
     )
     if len(entries) > 1 and use_scheduler:
         _drive_combined_scheduled(
@@ -2435,7 +2453,8 @@ def _placements(mesh, device):
 
 
 def _resolve_kernel(
-    device, mesh, n_tri: int = 0, *, scheduled: bool = False
+    device, mesh, n_tri: int = 0, *, scheduled: bool = False,
+    slim: bool = False
 ) -> Tuple[str, bool]:
     """(sweep kernel name, interpret flag) for this device/mesh combo.
 
@@ -2447,6 +2466,10 @@ def _resolve_kernel(
     trace lax.maps tiny per-block programs whose step overhead dominates
     small scenes, while the Pallas grid amortizes it (canyon, 22 tris:
     2.09 s -> 1.86 s measured).
+
+    ``slim`` (the scene pack is pack-resident — prepared.pack_scene slim
+    mode) FORCES the Pallas sweep: the pack IS its operand format and the
+    per-triangle arrays the XLA sweep needs were never uploaded.
     """
     from .config import KERNEL, PALLAS_MIN_TRIS
 
@@ -2457,6 +2480,8 @@ def _resolve_kernel(
         if mesh is not None
         else device.platform
     )
+    if slim:
+        return "pallas", platform == "cpu"
     if KERNEL in ("xla", "pallas"):
         kernel = KERNEL
     else:
@@ -2470,7 +2495,7 @@ def _resolve_kernel(
 
 
 def _rescope_kernel(entries, kernel, interpret, device, mesh, n_tri,
-                    use_scheduler):
+                    use_scheduler, slim: bool = False):
     """Re-resolve the kernel once the entry list is built.
 
     ``_resolve_kernel(scheduled=...)`` runs before checkpoint restore, keyed
@@ -2485,7 +2510,8 @@ def _rescope_kernel(entries, kernel, interpret, device, mesh, n_tri,
     driver still runs for the rest, so counting only pending entries here
     could downgrade the kernel while the scheduled driver executes."""
     new_kernel, new_interpret = _resolve_kernel(
-        device, mesh, n_tri, scheduled=use_scheduler and len(entries) > 1
+        device, mesh, n_tri, scheduled=use_scheduler and len(entries) > 1,
+        slim=slim,
     )
     if (new_kernel, new_interpret) != (kernel, interpret):
         for entry in entries:

@@ -374,9 +374,9 @@ def test_oversized_emitter_rescoped_under_mesh(monkeypatch):
     calls = []
     orig = S._resolve_kernel
 
-    def spy(device, m, n_tri=0, *, scheduled=False):
+    def spy(device, m, n_tri=0, *, scheduled=False, slim=False):
         calls.append((m is not None, scheduled))
-        return orig(device, m, n_tri, scheduled=scheduled)
+        return orig(device, m, n_tri, scheduled=scheduled, slim=slim)
 
     monkeypatch.setattr(S, "_resolve_kernel", spy)
     got = view_factor_matrix(meshes, params=params, mesh=mesh)

@@ -79,10 +79,10 @@ def _kernel_cases():
 
     interp = "--interpret" in sys.argv[1:]  # CPU plumbing check only
 
-    def single(stream, gate, wm, wa, baked, group):
+    def single(stream, gate, wm, wa, mode, group):
         kw = dict(ray_block=RAY_BLOCK, tri_tile=TRI_TILE, want_matrix=wm,
-                  want_any=wa, stream_from_hbm=stream, masks_baked=baked,
-                  interpret=interp)
+                  want_any=wa, stream_from_hbm=stream,
+                  masks_baked=(mode == "baked"), interpret=interp)
 
         def build():
             # gate_group > 1 (two-level) needs n_tiles > GATE_MAX_TILES;
@@ -93,6 +93,13 @@ def _kernel_cases():
                 old = config.GATE_MAX_TILES
                 config.GATE_MAX_TILES = 1 if group > 1 else old
                 try:
+                    if mode == "code":
+                        # slim pack-resident masks: in-kernel eligibility
+                        # from the code row vs two SMEM scalars
+                        fn = jax.jit(lambda r, p, m, a, cb: tp.sweep_rays(
+                            r, p, m, accel=a, code_bounds=cb, **kw))
+                        return fn.lower(rays, pack, mask,
+                                        accel if gate else None, S((2,), F32))
                     fn = jax.jit(lambda r, p, m, a: tp.sweep_rays(
                         r, p, m, accel=a, **kw))
                     return fn.lower(rays, pack, mask, accel if gate else None)
@@ -126,12 +133,12 @@ def _kernel_cases():
     for stream in (False, True):
         for gate, group in ((False, 1), (True, 1), (True, 2)):
             for wm, wa in outs:
-                for baked in (False, True):
+                for mode in ("masked", "baked", "code"):
                     label = (f"sweep[{'hbm' if stream else 'res'},"
                              f"{'g2' if group > 1 else 'g1' if gate else 'g0'},"
                              f"{'M' if wm else ''}{'A' if wa else ''},"
-                             f"{'baked' if baked else 'masked'}]")
-                    cases.append((label, single(stream, gate, wm, wa, baked, group)))
+                             f"{mode}]")
+                    cases.append((label, single(stream, gate, wm, wa, mode, group)))
                 label = (f"sched[{'hbm' if stream else 'res'},"
                          f"{'g2' if group > 1 else 'g1' if gate else 'g0'},"
                          f"{'M' if wm else ''}{'A' if wa else ''}]")
@@ -175,6 +182,26 @@ def _end_to_end():
     mp = MatrixParams(samples=4, rays=64, seed=3, min_iters=2, max_iters=4)
     sp = SkyParams(samples=4, rays=64, seed=3, min_iters=2, max_iters=4,
                    discrete=True)
+    def slim_matrix_exact():
+        # slim (pack-resident) mode must reproduce the default solve
+        # EXACTLY on real hardware (explicit PreparedSolvers: the implicit
+        # cache would hand the slim call the full pack it already built)
+        from raystrack_tpu.prepared import PreparedSolver
+
+        want = view_factor_matrix(meshes, params=mp,
+                                  prepared=PreparedSolver(meshes))
+        old = config.SLIM_PACK_MIN_TRIS
+        config.SLIM_PACK_MIN_TRIS = 1
+        try:
+            ps = PreparedSolver(meshes)
+            got = view_factor_matrix(meshes, params=mp, prepared=ps)
+            if not ps.get_scene_pack().slim:
+                raise AssertionError("slim mode did not engage")
+        finally:
+            config.SLIM_PACK_MIN_TRIS = old
+        if got != want:
+            raise AssertionError(f"slim != default: {got} vs {want}")
+
     steps = [
         ("solve[matrix]", lambda: view_factor_matrix(meshes, params=mp)),
         ("solve[sky-discrete]",
@@ -182,6 +209,7 @@ def _end_to_end():
         ("solve[workflow]",
          lambda: view_factor_matrix_and_sky(meshes, matrix_params=mp,
                                             sky_params=sp)),
+        ("solve[matrix-slim-exact]", slim_matrix_exact),
     ]
     results = []
     for label, fn in steps:
