@@ -45,18 +45,20 @@ def _build_sharded_step(
     has_accel: bool,
     kernel: str,
     interpret: bool,
+    has_pack: bool = False,
 ):
     axis = mesh.axis_names[0]
     rep_scene: Tuple = tuple(P() for _ in range(8))
     shard_tables: Tuple = tuple(P(axis) for _ in range(7))
     rep_geom: Tuple = tuple(P() for _ in range(8))
     accel_spec = (P(), P()) if has_accel else ()
+    pack_spec = P() if has_pack else ()
     body = chunk_body_pallas if kernel == "pallas" else chunk_body
     extra = {"interpret": interpret} if kernel == "pallas" else {}
 
     def local_step(
         scene, tables, geom, cp, surf_active_ext, emit_sid, min_sid,
-        n_rays_once, plane_vec, accel,
+        n_rays_once, plane_vec, accel, tri_pack,
     ):
         local_n = tables[0].shape[0]
         base = jax.lax.axis_index(axis).astype(jnp.int32) * local_n
@@ -77,6 +79,7 @@ def _build_sharded_step(
             ray_index_base=base,
             plane_vec=plane_vec,
             accel=accel if has_accel else None,
+            **({"tri_pack": tri_pack if has_pack else None} if kernel == "pallas" else {}),
             **extra,
         )
         return jax.tree.map(lambda x: jax.lax.psum(x, axis), out)
@@ -86,7 +89,7 @@ def _build_sharded_step(
         mesh=mesh,
         in_specs=(
             rep_scene, shard_tables, rep_geom, P(), P(), P(), P(), P(), P(),
-            accel_spec,
+            accel_spec, pack_spec,
         ),
         out_specs=P(),
         # pallas_call outputs carry no varying-mesh-axes annotation; the
@@ -108,6 +111,7 @@ def trace_chunk_sharded(
     n_rays_once,
     plane_vec=None,
     accel=None,
+    tri_pack=None,
     *,
     ray_block: int,
     tri_tile: int,
@@ -124,10 +128,19 @@ def trace_chunk_sharded(
     ``kernel="pallas"`` runs the fused Pallas sweep inside each shard, so
     multi-chip solves of large scenes keep the fast kernel; the int32 psum
     over ICI is unchanged, so results stay bitwise-equal to single-device.
+
+    ``tri_pack`` (prepared.pack_scene slim mode, replicated across the
+    mesh) keeps huge scenes pack-resident per chip — the same ~150M-tri
+    single-chip ceiling applies to every chip of a ray-sharded solve,
+    instead of full mode's ~90M dispatch peak. Requires kernel="pallas".
     """
+    if tri_pack is not None and kernel != "pallas":
+        raise ValueError(
+            "slim (pack-resident) scene packs require kernel='pallas'"
+        )
     step = _build_sharded_step(
         mesh, ray_block, tri_tile, want_matrix, want_any, discrete,
-        accel is not None, kernel, interpret,
+        accel is not None, kernel, interpret, tri_pack is not None,
     )
     cp = jnp.asarray(cp, dtype=jnp.float32)
     if plane_vec is None:
@@ -135,6 +148,7 @@ def trace_chunk_sharded(
     return step(
         scene, tables, geom, cp, surf_active_ext, emit_sid, min_sid,
         n_rays_once, plane_vec, accel if accel is not None else (),
+        tri_pack if tri_pack is not None else (),
     )
 
 

@@ -529,12 +529,16 @@ def _build_pack_resident(v0, e1, e2, sid, device):
 
     import jax.numpy as jnp
 
-    make_zeros = jax.jit(lambda: jnp.zeros((TRI_ROWS, n), jnp.float32))
-    if device is not None:
+    zeros = lambda: jnp.zeros((TRI_ROWS, n), jnp.float32)
+    if isinstance(device, jax.sharding.Sharding):
+        # mesh placement: the pack replicates per device (the ray-sharded
+        # sweep's in_spec is P()); the donated fill below preserves it
+        pack = jax.jit(zeros, out_shardings=device)()
+    elif device is not None:
         with jax.default_device(device):
-            pack = make_zeros()
+            pack = jax.jit(zeros)()
     else:
-        pack = make_zeros()
+        pack = jax.jit(zeros)()
 
     put = lambda a: jax.device_put(a, device) if device is not None else jnp.asarray(a)
     # at most two compiled fill variants: full chunks + one remainder shape
@@ -575,11 +579,7 @@ def pack_scene(
         n_tri_pad = _round_up(n_tri, PALLAS_TRI_TILE)
     tile = pick_tri_tile(n_tri_pad)
     if slim is None:
-        # slim needs a concrete Device for its chunked donated build; under
-        # a mesh placement (Sharding) huge scenes keep the full layout
-        slim = n_tri_pad >= SLIM_PACK_MIN_TRIS and (
-            device is None or isinstance(device, jax.Device)
-        )
+        slim = n_tri_pad >= SLIM_PACK_MIN_TRIS
 
     if scene.use_accel and n_tri > 1:
         perm = morton_order(scene.v0, scene.e1, scene.e2)

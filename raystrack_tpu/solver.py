@@ -463,17 +463,10 @@ class _EmitterRun:
         if self.mesh is not None:
             from .parallel.sharding import trace_chunk_sharded
 
-            if scene.slim:
-                raise NotImplementedError(
-                    "slim (pack-resident) scene packs do not support "
-                    "ray-mesh sharding yet; build the pack per device or "
-                    "lower RAYSTRACK_TPU_SLIM_PACK_MIN_TRIS only for "
-                    "single-device solves"
-                )
             out = trace_chunk_sharded(
                 self.mesh, scene_t, tables_t, geom_t, cp,
                 self.surf_active_ext, self.emit_sid, self.min_sid,
-                self.n_rays_once, em.plane_vec, scene.accel,
+                self.n_rays_once, em.plane_vec, scene.accel, scene.tri_pack,
                 kernel=self.kernel, interpret=self.interpret, **kwargs,
             )
         else:

@@ -232,6 +232,29 @@ def test_sky_solve_slim_matches_default(monkeypatch):
     assert got == want
 
 
+def test_matrix_solve_slim_sharded_matches_default(monkeypatch):
+    """Slim + ray-mesh sharding: the replicated pack build and the sharded
+    pack-resident sweep reproduce the single-device default bitwise on the
+    8-virtual-device CPU mesh."""
+    from raystrack_tpu.parallel.sharding import ray_mesh
+
+    meshes = _scene()
+    mp = MatrixParams(samples=4, rays=16, seed=9, max_iters=4, min_iters=2,
+                      bvh="builtin")
+    want = view_factor_matrix(meshes, mp, prepared=PreparedSolver(meshes))
+    _force_slim(monkeypatch)
+    ps = PreparedSolver(meshes)
+    got = view_factor_matrix(meshes, mp, prepared=ps, mesh=ray_mesh())
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pack_dev = NamedSharding(ray_mesh(), P())
+    pack = ps.get_scene_pack(use_accel=True, device=pack_dev)
+    assert pack.slim and pack.tri_pack.sharding.is_fully_replicated
+    assert len(pack.tri_pack.sharding.device_set) == len(jax.devices())
+    assert got == want
+
+
 def test_workflow_solve_slim_matches_default(monkeypatch):
     meshes = _scene()
     mp = MatrixParams(samples=4, rays=16, seed=9, max_iters=4, min_iters=2,
