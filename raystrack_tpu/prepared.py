@@ -832,7 +832,19 @@ class PreparedSolver:
 
     @staticmethod
     def _device_key(device) -> str:
-        return str(device) if device is not None else "default"
+        # ``None`` means "the default placement" — physically the same
+        # device an explicit default-device argument would name. Key them
+        # identically: a solver passing its resolved device must reuse a
+        # pack a caller built with device=None (at slim pack-resident
+        # scales a duplicate pack is ~10 GiB and OOMs the chip).
+        if device is None:
+            try:
+                import jax
+
+                device = jax.config.jax_default_device or jax.local_devices()[0]
+            except Exception:
+                return "default"
+        return str(device)
 
     def get_scene_pack(self, *, use_accel: bool = False, device=None) -> ScenePack:
         key = (self._device_key(device), bool(use_accel))

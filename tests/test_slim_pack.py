@@ -255,6 +255,22 @@ def test_matrix_solve_slim_sharded_matches_default(monkeypatch):
     assert got == want
 
 
+def test_scene_pack_default_device_key_collides(monkeypatch):
+    """device=None and the explicitly-resolved default device must hit the
+    SAME cache entry: a solver passing its resolved placement after a caller
+    built the pack with device=None would otherwise duplicate the resident
+    pack (~10 GiB at 1e8 tris — the OOM that killed the first 100M-demo
+    solve phase)."""
+    import jax
+
+    _force_slim(monkeypatch)
+    ps = PreparedSolver(_scene())
+    a = ps.get_scene_pack(use_accel=True)
+    b = ps.get_scene_pack(use_accel=True, device=jax.local_devices()[0])
+    assert a is b
+    assert len(ps._scene_pack_cache) == 1
+
+
 def test_workflow_solve_slim_matches_default(monkeypatch):
     meshes = _scene()
     mp = MatrixParams(samples=4, rays=16, seed=9, max_iters=4, min_iters=2,
